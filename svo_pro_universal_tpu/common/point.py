@@ -1,0 +1,102 @@
+"""LandmarkPool: fixed-capacity global 3D point store.
+
+TPU-native mirror of the reference's heap-allocated ``Point`` objects with
+observation lists (reference: src/svo_common/include/svo/common/point.h:66,
+obs_ list + n_failed/succeeded reprojection counters). Points live in a
+preallocated ``[MAX_POINTS]`` pool; observations are (keyframe slot, feature
+index) pairs in a fixed ``[MAX_OBS]`` ring per point. Allocation is a pure
+function over a cursor + valid mask (free slots are reused host-side between
+frames if needed).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class LandmarkPool(NamedTuple):
+    pos: jax.Array           # [P, 3] world position
+    valid: jax.Array         # [P] bool
+    ids: jax.Array           # [P] i32 globally unique id (-1 free)
+    obs_kf: jax.Array        # [P, MAX_OBS] i32 keyframe ring slot (-1 empty)
+    obs_idx: jax.Array       # [P, MAX_OBS] i32 feature index in that keyframe
+    n_obs: jax.Array         # [P] i32 observation count (saturating)
+    n_failed_reproj: jax.Array     # [P] i32
+    n_succeeded_reproj: jax.Array  # [P] i32
+    last_structure_optim: jax.Array  # [P] i32 frame id of last point GN
+    cursor: jax.Array        # i32 scalar: next allocation slot
+    next_id: jax.Array       # i32 scalar: next global id
+
+    @property
+    def capacity(self) -> int:
+        return self.pos.shape[0]
+
+    @property
+    def max_obs(self) -> int:
+        return self.obs_kf.shape[1]
+
+
+def make_pool(max_points: int, max_obs: int, dtype=jnp.float32) -> LandmarkPool:
+    return LandmarkPool(
+        pos=jnp.zeros((max_points, 3), dtype),
+        valid=jnp.zeros((max_points,), bool),
+        ids=jnp.full((max_points,), -1, jnp.int32),
+        obs_kf=jnp.full((max_points, max_obs), -1, jnp.int32),
+        obs_idx=jnp.full((max_points, max_obs), -1, jnp.int32),
+        n_obs=jnp.zeros((max_points,), jnp.int32),
+        n_failed_reproj=jnp.zeros((max_points,), jnp.int32),
+        n_succeeded_reproj=jnp.zeros((max_points,), jnp.int32),
+        last_structure_optim=jnp.full((max_points,), -1, jnp.int32),
+        cursor=jnp.asarray(0, jnp.int32),
+        next_id=jnp.asarray(0, jnp.int32),
+    )
+
+
+def allocate(pool: LandmarkPool, positions: jax.Array,
+             want: jax.Array) -> tuple[LandmarkPool, jax.Array]:
+    """Allocate one pool slot per requested row of `positions`.
+
+    positions: [K, 3]; want: [K] bool. Returns (pool, slot [K] i32; -1 where
+    not allocated). Slots are taken sequentially from `cursor`, wrapping —
+    the oldest points get overwritten when full (the reference instead trashes
+    points explicitly; a ring achieves the same bound, map.h:19-115).
+    """
+    order = jnp.cumsum(want.astype(jnp.int32)) - 1          # rank among wanted
+    slot = (pool.cursor + order) % pool.capacity
+    n_new = jnp.sum(want.astype(jnp.int32))
+
+    # out-of-bounds index for unwanted rows → scatter in 'drop' mode skips them
+    widx = jnp.where(want, slot, pool.capacity)
+    new_ids = pool.next_id + order
+    k = positions.shape[0]
+    pool = pool._replace(
+        pos=pool.pos.at[widx].set(positions, mode="drop"),
+        valid=pool.valid.at[widx].set(True, mode="drop"),
+        ids=pool.ids.at[widx].set(new_ids, mode="drop"),
+        obs_kf=pool.obs_kf.at[widx].set(
+            jnp.full((k, pool.max_obs), -1, jnp.int32), mode="drop"),
+        obs_idx=pool.obs_idx.at[widx].set(
+            jnp.full((k, pool.max_obs), -1, jnp.int32), mode="drop"),
+        n_obs=pool.n_obs.at[widx].set(0, mode="drop"),
+        n_failed_reproj=pool.n_failed_reproj.at[widx].set(0, mode="drop"),
+        n_succeeded_reproj=pool.n_succeeded_reproj.at[widx].set(0, mode="drop"),
+        last_structure_optim=pool.last_structure_optim.at[widx].set(-1, mode="drop"),
+        cursor=(pool.cursor + n_new) % pool.capacity,
+        next_id=pool.next_id + n_new,
+    )
+    return pool, jnp.where(want, slot, -1)
+
+
+def add_observations(pool: LandmarkPool, point_slot: jax.Array,
+                     kf_slot: jax.Array, ft_idx: jax.Array,
+                     mask: jax.Array) -> LandmarkPool:
+    """Append (kf_slot, ft_idx) observations to points `point_slot` [K]."""
+    widx = jnp.where(mask, point_slot, pool.capacity)
+    ring = pool.n_obs[jnp.where(mask, point_slot, 0)] % pool.max_obs
+    obs_kf = pool.obs_kf.at[widx, ring].set(kf_slot, mode="drop")
+    obs_idx = pool.obs_idx.at[widx, ring].set(ft_idx, mode="drop")
+    n_obs = pool.n_obs.at[widx].add(1, mode="drop")
+    return pool._replace(obs_kf=obs_kf, obs_idx=obs_idx, n_obs=n_obs)

@@ -1,0 +1,30 @@
+"""Test harness: force an 8-device virtual CPU mesh before JAX import.
+
+Multi-chip sharding paths are validated on virtual CPU devices (real TPU has
+one chip in this environment); numeric tests run fine on CPU too.
+"""
+
+import os
+
+# Force CPU: this image's sitecustomize registers a tunneled TPU backend and
+# pins platform priority 'axon,cpu' — env vars alone don't override it, and
+# every jit compile would round-trip the tunnel. SVO_TEST_PLATFORM=axon opts
+# back into the real chip.
+_platform = os.environ.get("SVO_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", _platform)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
