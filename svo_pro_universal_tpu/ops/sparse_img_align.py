@@ -1,0 +1,286 @@
+"""Sparse image alignment: frame-to-frame pose by direct photometric GN.
+
+TPU-native replacement for the reference's SparseImgAlign — CPU path
+src/svo_img_align/src/sparse_img_align.cpp (run:34-113, precomputeBaseCaches
+:265-318, precomputeJacobiansAndRefPatches:320-403, computeResidualsOfFrame
+:405-498, computeHessianAndGradient:500-545) and the dormant CUDA port
+(sparse_img_align_device_utils.cu), whose existence marks this stage as the
+intended accelerator kernel. State and math follow sparse_img_align_base.h:
+49-56 / sparse_img_align_base.cpp:64-75:
+
+- optimized state is the **body/IMU relative pose** ``T_icur_iref`` plus
+  affine illumination ``alpha, beta``;
+- residual per patch pixel: ``I_cur·(1+alpha) + beta − I_ref``;
+- inverse-compositional: template patches and an 8-dof Jacobian
+  ``[(∇I·J_proj)·s, −I_ref, −1]`` are cached once per pyramid level;
+- update: ``T ← T·exp(−dx[:6])``, ``alpha ← (alpha−dx6)/(1+dx6)``,
+  ``beta ← (beta−dx7)/(1+dx6)``; coarse-to-fine over levels.
+
+Here every per-feature/per-pixel loop is one batched array program; the GN
+iterations run in a `lax.while_loop` with masked convergence so the whole
+multi-level solve is a single XLA computation per frame.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from svo_pro_universal_tpu.cameras import projections as proj
+from svo_pro_universal_tpu.ops.interp import bilinear
+from svo_pro_universal_tpu.utils.transform import (
+    SE3, quat_to_matrix, se3_exp, se3_log, skew)
+
+
+class SparseImgAlignOptions(NamedTuple):
+    max_level: int = 4
+    min_level: int = 2
+    patch_size: int = 4
+    max_iter: int = 10
+    estimate_alpha: bool = False
+    estimate_beta: bool = False
+    use_distortion_jacobian: bool = False
+    min_update_squared: float = 1e-10
+    prior_lambda_rot: float = 0.0
+    prior_lambda_trans: float = 0.0
+
+
+class CameraInput(NamedTuple):
+    """Per-camera alignment inputs (mono = a 1-element list of these)."""
+    pyr_ref: tuple            # ref image pyramid
+    pyr_cur: tuple            # cur image pyramid
+    px_ref: jax.Array         # [N, 2] feature px (level 0)
+    f_ref: jax.Array          # [N, 3] unit bearings
+    depth_ref: jax.Array      # [N] distance along bearing (norm, not z)
+    valid: jax.Array          # [N] bool
+    T_cam_body: SE3           # camera-from-IMU extrinsic
+    cam: proj.Camera
+
+
+class AlignState(NamedTuple):
+    T_icur_iref: SE3
+    alpha: jax.Array
+    beta: jax.Array
+
+
+class AlignStats(NamedTuple):
+    chi2: jax.Array
+    n_tracked: jax.Array
+    n_iter_total: jax.Array
+
+
+def precompute_base(inp: CameraInput, use_distortion_jacobian: bool
+                    ) -> tuple[jax.Array, jax.Array]:
+    """(xyz_ref [N,3], J_proj [N,2,6]): projection Jacobian w.r.t. the body
+    twist, evaluated in the reference frame (reference:
+    precomputeBaseCaches sparse_img_align.cpp:265-318 +
+    Frame::jacobian_xyz2uv_imu frame.h:342-357)."""
+    xyz_ref = inp.f_ref * inp.depth_ref[:, None]
+    T_body_cam = inp.T_cam_body.inverse()
+    p_imu = T_body_cam.apply(xyz_ref)                      # [N, 3]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=xyz_ref.dtype),
+                           p_imu.shape[:-1] + (3, 3))
+    G = jnp.concatenate([eye, -skew(p_imu)], axis=-1)      # [N, 3, 6]
+    R_cam_imu = quat_to_matrix(inp.T_cam_body.q)           # [3, 3]
+    RG = jnp.einsum("ij,njk->nik", R_cam_imu, G)           # [N, 3, 6]
+
+    if use_distortion_jacobian or \
+            inp.cam.projection != proj.ProjectionModel.PINHOLE:
+        J_cam = proj.project_jacobian(inp.cam, xyz_ref)    # [N, 2, 3]
+        J = -jnp.einsum("nij,njk->nik", J_cam, RG)
+    else:
+        x, y, z = xyz_ref[:, 0], xyz_ref[:, 1], xyz_ref[:, 2]
+        zi = 1.0 / jnp.where(jnp.abs(z) > 1e-8, z, 1e-8)
+        one = jnp.ones_like(zi)
+        zero = jnp.zeros_like(zi)
+        J_up = jnp.stack([
+            jnp.stack([one, zero, -x * zi], -1),
+            jnp.stack([zero, one, -y * zi], -1)], axis=-2)  # [N, 2, 3]
+        focal = inp.cam.focal_length
+        J = -(zi * focal)[:, None, None] * jnp.einsum(
+            "nij,njk->nik", J_up, RG)
+    return xyz_ref, J
+
+
+def precompute_level(inp: CameraInput, level: int, patch_size: int,
+                     J_proj: jax.Array, estimate_alpha: bool,
+                     estimate_beta: bool
+                     ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Cache template patches + full 8-dof per-pixel Jacobian for one level
+    (reference: precomputeJacobiansAndRefPatches :320-403).
+
+    Returns (ref_patch [N,P²], jac [N,P²,8], ok_ref [N]).
+    """
+    img = inp.pyr_ref[level]
+    scale = 1.0 / (1 << level)
+    pwb = patch_size + 2
+    center_wb = (pwb - 1) / 2.0
+    offs = jnp.arange(pwb, dtype=inp.px_ref.dtype) - center_wb
+    ou, ov = jnp.meshgrid(offs, offs, indexing="xy")
+    uv = (inp.px_ref[:, None, None, :] * scale
+          + jnp.stack([ou, ov], -1)[None])                 # [N,pwb,pwb,2]
+    patch_wb, inb = bilinear(img, uv)
+    ok = jnp.all(inb.reshape(inb.shape[0], -1), axis=-1)
+
+    val = patch_wb[:, 1:-1, 1:-1]
+    dx = 0.5 * (patch_wb[:, 1:-1, 2:] - patch_wb[:, 1:-1, :-2])
+    dy = 0.5 * (patch_wb[:, 2:, 1:-1] - patch_wb[:, :-2, 1:-1])
+    n = val.shape[0]
+    area = patch_size * patch_size
+    val = val.reshape(n, area)
+    dx = dx.reshape(n, area)
+    dy = dy.reshape(n, area)
+
+    Jp = (dx[..., None] * J_proj[:, None, 0, :]
+          + dy[..., None] * J_proj[:, None, 1, :]) * scale  # [N,P²,6]
+    Ja = (-val if estimate_alpha else jnp.zeros_like(val))[..., None]
+    Jb = (jnp.full_like(val, -1.0) if estimate_beta
+          else jnp.zeros_like(val))[..., None]
+    jac = jnp.concatenate([Jp, Ja, Jb], axis=-1)            # [N,P²,8]
+    return val, jac, ok
+
+
+def compute_residuals(inp: CameraInput, xyz_ref: jax.Array,
+                      ref_patch: jax.Array, T_cur_ref: SE3,
+                      alpha: jax.Array, beta: jax.Array, level: int,
+                      patch_size: int) -> tuple[jax.Array, jax.Array]:
+    """(res [N,P²], visible [N]) (reference: computeResidualsOfFrame
+    :405-498)."""
+    img = inp.pyr_cur[level]
+    scale = 1.0 / (1 << level)
+    xyz_cur = T_cur_ref.apply(xyz_ref)
+    uv_cur, _ = proj.project(inp.cam, xyz_cur)
+    center = (patch_size - 1) / 2.0
+    offs = jnp.arange(patch_size, dtype=uv_cur.dtype) - center
+    ou, ov = jnp.meshgrid(offs, offs, indexing="xy")
+    pos = uv_cur[:, None, None, :] * scale + jnp.stack([ou, ov], -1)[None]
+    cur, inb = bilinear(img, pos)
+    n = cur.shape[0]
+    area = patch_size * patch_size
+    cur = cur.reshape(n, area)
+    visible = (jnp.all(inb.reshape(n, -1), axis=-1)
+               & (xyz_cur[:, 2] > 0.0))
+    res = cur * (1.0 + alpha) + beta - ref_patch
+    return res, visible
+
+
+def _state_update(state: AlignState, dx: jax.Array) -> AlignState:
+    """Reference update rule (sparse_img_align_base.cpp:64-75)."""
+    T = state.T_icur_iref.compose(se3_exp(-dx[:6])).normalized()
+    denom = 1.0 + dx[6]
+    return AlignState(
+        T,
+        (state.alpha - dx[6]) / denom,
+        (state.beta - dx[7]) / denom,
+    )
+
+
+def run(
+    inputs: Sequence[CameraInput],
+    state0: AlignState,
+    opts: SparseImgAlignOptions,
+    T_prior: SE3 | None = None,
+) -> tuple[AlignState, AlignStats]:
+    """Coarse-to-fine sparse image alignment over all cameras.
+
+    T_prior: optional prior on T_icur_iref (IMU rotation / constant-velocity
+    prior, reference sparse_img_align_base.cpp applyPrior:77-110) weighted by
+    prior_lambda_{rot,trans} × max H diagonal.
+    """
+    pre = [precompute_base(inp, opts.use_distortion_jacobian)
+           for inp in inputs]
+
+    state = state0
+    total_iters = jnp.asarray(0, jnp.int32)
+    chi2 = jnp.asarray(0.0, jnp.float32)
+    n_tracked = jnp.asarray(0, jnp.int32)
+
+    for level in range(opts.max_level, opts.min_level - 1, -1):
+        caches = []
+        for inp, (xyz_ref, J_proj) in zip(inputs, pre):
+            ref_patch, jac, ok = precompute_level(
+                inp, level, opts.patch_size, J_proj,
+                opts.estimate_alpha, opts.estimate_beta)
+            caches.append((xyz_ref, ref_patch, jac, ok & inp.valid))
+
+        def evaluate(st: AlignState):
+            H = jnp.zeros((8, 8), jnp.float32)
+            g = jnp.zeros((8,), jnp.float32)
+            c2 = jnp.asarray(0.0, jnp.float32)
+            nm = jnp.asarray(0, jnp.int32)
+            for inp, (xyz_ref, ref_patch, jac, ok) in zip(inputs, caches):
+                T_cur_ref = (inp.T_cam_body.compose(st.T_icur_iref)
+                             .compose(inp.T_cam_body.inverse()))
+                res, vis = compute_residuals(
+                    inp, xyz_ref, ref_patch, T_cur_ref, st.alpha, st.beta,
+                    level, opts.patch_size)
+                w = (vis & ok).astype(jnp.float32)[:, None]
+                rw = res * w
+                H = H + jnp.einsum("npi,npj->ij", jac * w[..., None], jac)
+                g = g - jnp.einsum("npi,np->i", jac, rw)
+                c2 = c2 + jnp.sum(rw * res)
+                nm = nm + jnp.sum((vis & ok).astype(jnp.int32))
+            if not opts.estimate_alpha:
+                H = H.at[6, 6].set(1.0)
+                g = g.at[6].set(0.0)
+            if not opts.estimate_beta:
+                H = H.at[7, 7].set(1.0)
+                g = g.at[7].set(0.0)
+            c2 = c2 / jnp.maximum(nm, 1)
+            if T_prior is not None and (opts.prior_lambda_rot > 0
+                                        or opts.prior_lambda_trans > 0):
+                # e: T·exp(e) = T_prior  → prior drives dx = −e
+                e = se3_log(st.T_icur_iref.inverse().compose(T_prior))
+                # floor keeps the prior active when photometric info vanishes
+                h_t = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(H)[:3])), 1.0)
+                h_r = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(H)[3:6])), 1.0)
+                lam = jnp.concatenate([
+                    jnp.full((3,), opts.prior_lambda_trans) * h_t,
+                    jnp.full((3,), opts.prior_lambda_rot) * h_r,
+                    jnp.zeros((2,))])
+                e8 = jnp.concatenate([e, jnp.zeros((2,))])
+                H = H + jnp.diag(lam)
+                g = g - lam * e8
+                c2 = c2 + jnp.sum(lam * e8 * e8)  # keep-best sees the prior
+            return H, g, c2, nm
+
+        # LM-damped GN with keep-best (reference mini solver, mu0 = 0.1)
+        def cond(carry):
+            _, _, _, _, it, done = carry
+            return (it < opts.max_iter) & (~done)
+
+        def body(carry):
+            st, best_chi2, best_st, mu, it, _ = carry
+            H, g, c2, _ = evaluate(st)
+            diag = jnp.diagonal(H)
+            Hd = H + jnp.diag(mu * diag + 1e-8)
+            dx = jnp.linalg.solve(Hd, g)
+            dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+            cand = _state_update(st, dx)
+            _, _, c2_new, _ = evaluate(cand)
+            improved = c2_new < best_chi2
+            best_st = jax.tree.map(
+                lambda a, b: jnp.where(improved, a, b), cand, best_st)
+            best_chi2 = jnp.where(improved, c2_new, best_chi2)
+            mu = jnp.where(improved, mu * 0.5, mu * 4.0)
+            st = jax.tree.map(lambda a, b: jnp.where(improved, a, b),
+                              cand, st)
+            done = jnp.sum(dx[:6] ** 2) < opts.min_update_squared
+            return st, best_chi2, best_st, mu, it + 1, done
+
+        _, _, chi0, n_tracked = evaluate(state)
+        init = (state, chi0, state, jnp.asarray(0.1, jnp.float32),
+                jnp.asarray(0, jnp.int32), jnp.asarray(False))
+        _, chi2, state, _, iters, _ = jax.lax.while_loop(cond, body, init)
+        total_iters = total_iters + iters
+
+    return state, AlignStats(chi2, n_tracked, total_iters)
+
+
+def make_state(T_icur_iref: SE3 | None = None) -> AlignState:
+    if T_icur_iref is None:
+        T_icur_iref = SE3.identity()
+    return AlignState(T_icur_iref, jnp.asarray(0.0, jnp.float32),
+                      jnp.asarray(0.0, jnp.float32))
