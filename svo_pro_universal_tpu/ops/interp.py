@@ -91,6 +91,75 @@ def bilinear_with_gradient(
             jnp.where(inb, dv, z))
 
 
+class FlatPyramid:
+    """Image pyramid flattened into one 1-D buffer for per-feature-level
+    gathers (each feature samples the level it was detected/searched at,
+    all in one gather op — the TPU answer to the reference's per-feature
+    `img_pyr_[level]` pointer chasing)."""
+
+    def __init__(self, pyramid):
+        self.flat = jnp.concatenate([lvl.ravel() for lvl in pyramid])
+        offs, o = [], 0
+        self.widths = jnp.array([lvl.shape[1] for lvl in pyramid], jnp.int32)
+        self.heights = jnp.array([lvl.shape[0] for lvl in pyramid], jnp.int32)
+        for lvl in pyramid:
+            offs.append(o)
+            o += lvl.shape[0] * lvl.shape[1]
+        self.offsets = jnp.array(offs, jnp.int32)
+
+    def tree_flatten(self):
+        return (self.flat, self.widths, self.heights, self.offsets), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj.flat, obj.widths, obj.heights, obj.offsets = children
+        return obj
+
+
+jax.tree_util.register_pytree_node(
+    FlatPyramid, FlatPyramid.tree_flatten, FlatPyramid.tree_unflatten)
+
+
+def pyr_bilinear(pyr: FlatPyramid, level: jax.Array, uv: jax.Array,
+                 ) -> tuple[jax.Array, jax.Array]:
+    """Bilinear sample at per-element pyramid `level` (level-local coords).
+
+    level: [...] i32 broadcastable against uv[..., 0]. Returns (val, inb).
+    """
+    w = pyr.widths[level]
+    h = pyr.heights[level]
+    off = pyr.offsets[level]
+    u, v = uv[..., 0], uv[..., 1]
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    fu = u - u0
+    fv = v - v0
+    x0 = jnp.clip(u0.astype(jnp.int32), 0, w - 2)
+    y0 = jnp.clip(v0.astype(jnp.int32), 0, h - 2)
+    inb = (u >= 0) & (v >= 0) & (u <= (w - 1).astype(u.dtype) - 1e-6) \
+        & (v <= (h - 1).astype(v.dtype) - 1e-6)
+    base = off + y0 * w + x0
+    i00 = pyr.flat[base]
+    i01 = pyr.flat[base + 1]
+    i10 = pyr.flat[base + w]
+    i11 = pyr.flat[base + w + 1]
+    val = ((1 - fu) * (1 - fv) * i00 + fu * (1 - fv) * i01
+           + (1 - fu) * fv * i10 + fu * fv * i11)
+    return jnp.where(inb, val, 0.0), inb
+
+
+def pyr_nearest(pyr: FlatPyramid, level: jax.Array, xi: jax.Array,
+                yi: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Integer-coordinate sample at per-element pyramid level."""
+    w = pyr.widths[level]
+    h = pyr.heights[level]
+    off = pyr.offsets[level]
+    inb = (xi >= 0) & (yi >= 0) & (xi < w) & (yi < h)
+    idx = off + jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+    return jnp.where(inb, pyr.flat[idx], 0.0), inb
+
+
 def patch_offsets(patch_size: int, dtype=jnp.float32) -> jax.Array:
     """[P², 2] (du, dv) offsets centered on the patch:
     du, dv ∈ [-P/2, P/2) matching the reference's top-left = px - P/2."""

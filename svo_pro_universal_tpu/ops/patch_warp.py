@@ -88,8 +88,7 @@ def warp_patches(
     A_ref_cur = inv * (1 << search_level).astype(inv.dtype)[:, None, None]
 
     offs = patch_offsets(patch_size, px_ref_pyr.dtype)        # [P², 2]
-    # + 0.5 centers samples on pixel centers like the reference's int loop
-    uv = (jnp.einsum("nij,pj->npi", A_ref_cur, offs + 0.5)
+    uv = (jnp.einsum("nij,pj->npi", A_ref_cur, offs)
           + px_ref_pyr[:, None, :])
     vals, inb = bilinear(img_ref, uv)
     ok = jnp.all(inb, axis=-1) & (jnp.abs(det) > 1e-8)

@@ -42,7 +42,7 @@ def test_warp_patches_identity_matches_extract():
     A = jnp.tile(jnp.eye(2)[None], (2, 1, 1))
     lvl = jnp.zeros((2,), jnp.int32)
     warped, ok = pw.warp_patches(A, img, centers, lvl, 8)
-    direct, ok2 = extract_patches(img, centers + 0.5, 8)
+    direct, ok2 = extract_patches(img, centers, 8)
     assert np.asarray(ok).all() and np.asarray(ok2).all()
     np.testing.assert_allclose(np.asarray(warped), np.asarray(direct),
                                atol=1e-3)
