@@ -22,6 +22,17 @@ def tukey_weight(x_norm: jax.Array, b: float = TUKEY_B) -> jax.Array:
     return jnp.where(jnp.abs(r) < 1.0, w, 0.0)
 
 
+def tukey_rho(x_norm: jax.Array, b: float = TUKEY_B) -> jax.Array:
+    """Tukey loss ρ(x) = b²/6·(1−(1−(x/b)²)³) for |x|<b, else b²/6.
+
+    Saturates for outliers — the correct objective for step acceptance
+    (a weighted-LS sum would go to zero when every residual is rejected).
+    """
+    r2 = jnp.square(x_norm / b)
+    inner = 1.0 - jnp.power(1.0 - r2, 3)
+    return (b * b / 6.0) * jnp.where(r2 < 1.0, inner, 1.0)
+
+
 def huber_weight(x_norm: jax.Array, k: float = HUBER_K) -> jax.Array:
     ax = jnp.abs(x_norm)
     return jnp.where(ax <= k, 1.0, k / jnp.maximum(ax, 1e-12))
