@@ -1,0 +1,200 @@
+"""Two-view bootstrap: KLT tracking + batched RANSAC relative pose.
+
+TPU-native replacement for the reference's initializers
+(reference: src/svo/src/initialization.cpp — FivePointInit::addFrameBundle
+:292-347, TwoPointInit :248-290, trackFeaturesAndCheckDisparity :86-120,
+triangulateAndInitializePoints :~350-430; options initialization.h:37-95).
+OpenGV's sequential RANSAC is replaced by a fully batched hypothesize-and-
+verify: K hypotheses × 8-point essential estimation (SVD) scored against all
+correspondences at once. The TwoPoint variant closes over an IMU rotation
+prior and needs only a batched cross-product nullspace.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from svo_pro_universal_tpu.ops.matcher import depth_from_triangulation
+from svo_pro_universal_tpu.utils.transform import SE3, matrix_to_quat
+
+
+class InitResult(NamedTuple):
+    T_cur_ref: SE3            # relative pose, ‖t‖ = 1 (scale-free)
+    inliers: jax.Array        # [N] bool
+    depth_ref: jax.Array      # [N] triangulated depth along ref bearing
+    n_inliers: jax.Array
+    success: jax.Array        # bool scalar
+
+
+def _essential_from_8pt(fr: jax.Array, fc: jax.Array) -> jax.Array:
+    """8-point essential matrix per hypothesis.
+
+    fr, fc: [H, 8, 3] unit bearings (ref, cur). Returns E [H, 3, 3] with the
+    epipolar convention fcᵀ E fr = 0.
+    """
+    A = jnp.concatenate([
+        fc[..., 0:1] * fr, fc[..., 1:2] * fr, fc[..., 2:3] * fr], axis=-1)
+    # nullspace via eigendecomposition of AᵀA (batched, 9×9 symmetric)
+    AtA = jnp.einsum("hni,hnj->hij", A, A)
+    _, vecs = jnp.linalg.eigh(AtA)
+    e = vecs[..., :, 0]                      # smallest eigenvalue
+    E = e.reshape(e.shape[:-1] + (3, 3))
+    # project onto the essential manifold: singular values (1, 1, 0)
+    U, _, Vt = jnp.linalg.svd(E)
+    S = jnp.zeros_like(E).at[..., 0, 0].set(1.0).at[..., 1, 1].set(1.0)
+    return U @ S @ Vt
+
+
+def _decompose_essential(E: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """E [H,3,3] → (R [H,4,3,3], t [H,4,3]): the four (R, t) candidates."""
+    U, _, Vt = jnp.linalg.svd(E)
+    # enforce proper rotations
+    detU = jnp.linalg.det(U)[..., None, None]
+    detV = jnp.linalg.det(Vt)[..., None, None]
+    U = U * jnp.where(detU < 0, -1.0, 1.0)
+    Vt = Vt * jnp.where(detV < 0, -1.0, 1.0)
+    W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+    R1 = U @ W @ Vt
+    R2 = U @ W.T @ Vt
+    t = U[..., :, 2]
+    R = jnp.stack([R1, R1, R2, R2], axis=-3)
+    tt = jnp.stack([t, -t, t, -t], axis=-2)
+    return R, tt
+
+
+def _sampson_sq(E: jax.Array, fr: jax.Array, fc: jax.Array) -> jax.Array:
+    """Squared Sampson distance on the unit plane. E [...,3,3],
+    fr/fc [..., N, 3] (z-normalized inside)."""
+    xr = fr / jnp.where(jnp.abs(fr[..., 2:3]) > 1e-8, fr[..., 2:3], 1e-8)
+    xc = fc / jnp.where(jnp.abs(fc[..., 2:3]) > 1e-8, fc[..., 2:3], 1e-8)
+    Ex = jnp.einsum("...ij,...nj->...ni", E, xr)
+    Etxc = jnp.einsum("...ji,...nj->...ni", E, xc)
+    num = jnp.square(jnp.sum(xc * Ex, axis=-1))
+    den = (jnp.square(Ex[..., 0]) + jnp.square(Ex[..., 1])
+           + jnp.square(Etxc[..., 0]) + jnp.square(Etxc[..., 1]))
+    return num / jnp.maximum(den, 1e-12)
+
+
+def _score_pose(R: jax.Array, t: jax.Array, f_ref: jax.Array,
+                f_cur: jax.Array, valid: jax.Array, thresh_sq: jax.Array
+                ) -> tuple[jax.Array, jax.Array]:
+    """Inlier count for candidate poses [...,3,3]/[...,3] against all
+    correspondences: cheirality (positive depths) + Sampson gate."""
+    T = SE3(matrix_to_quat(R), t)
+    Rf = jnp.einsum("...ij,nj->...ni", R, f_ref)
+    a01 = jnp.sum(Rf * f_cur, -1)
+    a00 = jnp.sum(Rf * Rf, -1)
+    a11 = jnp.sum(f_cur * f_cur, -1)
+    det = a00 * a11 - a01 * a01
+    b0 = jnp.sum(Rf * t[..., None, :], -1)
+    b1 = jnp.sum(f_cur * t[..., None, :], -1)
+    safe = jnp.where(jnp.abs(det) > 1e-9, det, 1e-9)
+    d_ref = -(a11 * b0 - a01 * b1) / safe
+    d_cur = -(a01 * b0 - a00 * b1) / safe
+    tx = jnp.zeros(R.shape[:-2] + (3, 3))
+    tx = tx.at[..., 0, 1].set(-t[..., 2]).at[..., 0, 2].set(t[..., 1])
+    tx = tx.at[..., 1, 0].set(t[..., 2]).at[..., 1, 2].set(-t[..., 0])
+    tx = tx.at[..., 2, 0].set(-t[..., 1]).at[..., 2, 1].set(t[..., 0])
+    E = tx @ R
+    err = _sampson_sq(E, f_ref, f_cur)
+    inl = valid & (d_ref > 0) & (d_cur > 0) & (err < thresh_sq)
+    return jnp.sum(inl.astype(jnp.int32), axis=-1), inl
+
+
+def ransac_relative_pose(
+    f_ref: jax.Array,        # [N, 3] unit bearings in ref
+    f_cur: jax.Array,        # [N, 3] unit bearings in cur
+    valid: jax.Array,        # [N]
+    key: jax.Array,
+    focal_length: jax.Array,
+    reproj_thresh_px: float = 2.0,
+    n_hypotheses: int = 128,
+) -> InitResult:
+    """Batched 8-point RANSAC (replaces OpenGV CentralRelativePose 5pt
+    RANSAC, initialization.cpp:292-347)."""
+    n = f_ref.shape[0]
+    thresh_sq = jnp.square(reproj_thresh_px / focal_length)
+
+    # sample valid indices with probability mass on valid rows
+    p = valid.astype(jnp.float32)
+    p = p / jnp.maximum(jnp.sum(p), 1.0)
+    idx = jax.random.categorical(
+        key, jnp.log(jnp.maximum(p, 1e-12))[None, :].repeat(
+            n_hypotheses * 8, 0)).reshape(n_hypotheses, 8)
+    fr = f_ref[idx]
+    fc = f_cur[idx]
+    E = _essential_from_8pt(fr, fc)
+    R, t = _decompose_essential(E)               # [H,4,3,3], [H,4,3]
+    counts, _ = _score_pose(R, t, f_ref, f_cur, valid, thresh_sq)  # [H,4]
+    flat = jnp.argmax(counts.reshape(-1))
+    h, c = flat // 4, flat % 4
+    R_best, t_best = R[h, c], t[h, c]
+    n_inl, inl = _score_pose(R_best, t_best, f_ref, f_cur, valid, thresh_sq)
+
+    T_cur_ref = SE3(matrix_to_quat(R_best), t_best)
+    depth, tri_ok = depth_from_triangulation(T_cur_ref, f_ref, f_cur)
+    return InitResult(T_cur_ref, inl & tri_ok, depth, n_inl,
+                      n_inl > 0)
+
+
+def two_point_relative_pose(
+    f_ref: jax.Array,
+    f_cur: jax.Array,
+    valid: jax.Array,
+    R_cur_ref_prior: jax.Array,    # [3, 3] rotation prior (IMU gyro)
+    key: jax.Array,
+    focal_length: jax.Array,
+    reproj_thresh_px: float = 2.0,
+    n_hypotheses: int = 64,
+) -> InitResult:
+    """TwoPoint RANSAC with known rotation (reference TwoPointInit
+    initialization.cpp:248-290): each correspondence constrains
+    t ⊥ (f_cur × R·f_ref); two give t up to sign."""
+    n = f_ref.shape[0]
+    thresh_sq = jnp.square(reproj_thresh_px / focal_length)
+    p = valid.astype(jnp.float32)
+    p = p / jnp.maximum(jnp.sum(p), 1.0)
+    idx = jax.random.categorical(
+        key, jnp.log(jnp.maximum(p, 1e-12))[None, :].repeat(
+            n_hypotheses * 2, 0)).reshape(n_hypotheses, 2)
+    Rf = jnp.einsum("ij,nj->ni", R_cur_ref_prior, f_ref)
+    c = jnp.cross(f_cur, Rf)                     # [N, 3] constraint normals
+    t_hyp = jnp.cross(c[idx[:, 0]], c[idx[:, 1]])
+    t_norm = jnp.linalg.norm(t_hyp, axis=-1, keepdims=True)
+    t_hyp = t_hyp / jnp.maximum(t_norm, 1e-12)
+    R_hyp = jnp.broadcast_to(R_cur_ref_prior, (n_hypotheses, 3, 3))
+    # both signs
+    R2 = jnp.stack([R_hyp, R_hyp], axis=1)
+    t2 = jnp.stack([t_hyp, -t_hyp], axis=1)
+    counts, _ = _score_pose(R2, t2, f_ref, f_cur, valid, thresh_sq)
+    flat = jnp.argmax(counts.reshape(-1))
+    h, s = flat // 2, flat % 2
+    R_best, t_best = R2[h, s], t2[h, s]
+    n_inl, inl = _score_pose(R_best, t_best, f_ref, f_cur, valid, thresh_sq)
+    T_cur_ref = SE3(matrix_to_quat(R_best), t_best)
+    depth, tri_ok = depth_from_triangulation(T_cur_ref, f_ref, f_cur)
+    return InitResult(T_cur_ref, inl & tri_ok, depth, n_inl, n_inl > 0)
+
+
+def disparity(px_ref: jax.Array, px_cur: jax.Array, valid: jax.Array
+              ) -> jax.Array:
+    """Median feature displacement in pixels (reference
+    trackFeaturesAndCheckDisparity initialization.cpp:86-120)."""
+    from svo_pro_universal_tpu.utils.robust import masked_median
+    d = jnp.linalg.norm(px_cur - px_ref, axis=-1)
+    return masked_median(d, valid)
+
+
+def rescale_to_mean_depth(T_cur_ref: SE3, depth_ref: jax.Array,
+                          inliers: jax.Array, target_depth: float
+                          ) -> tuple[SE3, jax.Array, jax.Array]:
+    """Fix the monocular scale so the median inlier depth equals
+    `target_depth` (reference: triangulateAndInitializePoints rescaling via
+    init_map_scale). Returns (T_cur_ref scaled, depths scaled, scale)."""
+    from svo_pro_universal_tpu.utils.robust import masked_median
+    med = masked_median(depth_ref, inliers)
+    scale = target_depth / jnp.maximum(med, 1e-9)
+    return (SE3(T_cur_ref.q, T_cur_ref.t * scale), depth_ref * scale, scale)
