@@ -1,0 +1,705 @@
+"""Mono frontend pipeline: host state machine over jitted stage programs.
+
+TPU-native replacement for the reference's frame handler stack
+(reference: src/svo/src/frame_handler_base.cpp — addFrameBundle:200-550,
+sparseImageAlignment:610-644, projectMapInFrame:646-744, optimizePose
+:746-777, optimizeStructure:779-826, upgradeSeedsToFeatures:828-898,
+needNewKf:1012-1121, tracking-quality monitor:991-1009;
+frame_handler_mono.cpp — processFrame:120-253, processFirstFrame:64-117,
+relocalizeFrame:254-279). Architecture inversion: the reference interleaves
+host logic with per-feature loops and worker threads; here each frame runs
+exactly TWO fused device programs (a tracking step, and a keyframe step when
+promoted) while the host only flips the Stage enum and reads back a handful
+of scalars.
+"""
+
+from __future__ import annotations
+
+import enum
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from svo_pro_universal_tpu.cameras import projections as proj
+from svo_pro_universal_tpu.common import seed as seed_mod
+from svo_pro_universal_tpu.common import types as ft
+from svo_pro_universal_tpu.common.frame import FrameState, make_empty_frame
+from svo_pro_universal_tpu.common.point import (
+    LandmarkPool, add_observations, allocate, make_pool)
+from svo_pro_universal_tpu.config import Config
+from svo_pro_universal_tpu.frontend import initialization as init_mod
+from svo_pro_universal_tpu.frontend import reprojector as repro_mod
+from svo_pro_universal_tpu.frontend.map import (
+    KeyframeRing, RingPyramid, closest_keyframe_slot, eviction_slot,
+    insert_keyframe, make_ring, overlap_mask)
+from svo_pro_universal_tpu.ops import alignment as align_mod
+from svo_pro_universal_tpu.ops import depth_filter as df_mod
+from svo_pro_universal_tpu.ops import detector as det_mod
+from svo_pro_universal_tpu.ops import matcher as matcher_mod
+from svo_pro_universal_tpu.ops import pose_optimizer as po_mod
+from svo_pro_universal_tpu.ops import sparse_img_align as sia_mod
+from svo_pro_universal_tpu.ops import structure_optimizer as so_mod
+from svo_pro_universal_tpu.ops.interp import FlatPyramid, pyr_bilinear, \
+    pyr_nearest
+from svo_pro_universal_tpu.ops.pyramid import build_pyramid, image_to_float
+from svo_pro_universal_tpu.utils.transform import SE3, se3_exp, se3_log
+
+
+class Stage(enum.Enum):
+    """reference: frame_handler_base.h:214-219."""
+    PAUSED = 0
+    FIRST_FRAME = 1
+    INITIALIZING = 2
+    TRACKING = 3
+    RELOCALIZING = 4
+
+
+class TrackingQuality(enum.Enum):
+    INSUFFICIENT = 0
+    BAD = 1
+    GOOD = 2
+
+
+class FrameResult(NamedTuple):
+    """Host-visible per-frame output."""
+    T_world_cam: np.ndarray      # 4×4
+    stage: Stage
+    n_tracked: int
+    quality: TrackingQuality
+    is_keyframe: bool
+
+
+def _feature_world_points(frame: FrameState, ring: KeyframeRing,
+                          pool: LandmarkPool
+                          ) -> tuple[jax.Array, jax.Array]:
+    """Fresh 3D point per feature: landmark pool if linked, else the live
+    seed state in its ref keyframe (reference: pose_optimizer.cpp:124-136
+    re-derives positions the same way). Returns (xyz_world [N,3], ok [N])."""
+    lid = frame.landmark_id
+    has_lm = (lid >= 0) & pool.valid[jnp.clip(lid, 0, pool.capacity - 1)]
+    lm_pos = pool.pos[jnp.clip(lid, 0, pool.capacity - 1)]
+
+    kf = jnp.clip(frame.seed_ref_kf, 0, ring.capacity - 1)
+    fidx = jnp.clip(frame.seed_ref_idx, 0, frame.max_fts - 1)
+    has_seed = (frame.seed_ref_kf >= 0) & ring.valid[kf]
+    seed_state = ring.frames.seed_state[kf, fidx]
+    seed_f = ring.frames.f[kf, fidx]
+    depth = 1.0 / jnp.maximum(seed_state[:, 0], 1e-12)
+    T_world_kf = jax.tree.map(lambda x: x[kf], ring.frames.T_cam_world
+                              ).inverse()
+    seed_pos = T_world_kf.apply(seed_f * depth[:, None])
+    xyz = jnp.where(has_lm[:, None], lm_pos, seed_pos)
+    return xyz, has_lm | has_seed
+
+
+class FrameHandlerMono:
+    """Host driver. Mirrors svo::FrameHandlerMono + the Odometry facade
+    (reference: svo_factory.h:83-129)."""
+
+    def __init__(self, cfg: Config, cam: proj.Camera,
+                 T_cam_body: Optional[SE3] = None, seed: int = 0):
+        self.cfg = cfg
+        self.cam = cam
+        self.T_cam_body = T_cam_body or SE3.identity()
+        self.stage = Stage.FIRST_FRAME
+        self.rng_key = jax.random.PRNGKey(seed)
+
+        cap = cfg.capacity
+        self.n_levels = max(cfg.n_pyr_levels, cfg.img_align.max_level + 1)
+        self.max_fts = cap.max_fts
+        cs = cfg.detector.cell_size
+        self.n_cols = -(-cam.width // cs)
+        self.n_rows = -(-cam.height // cs)
+        self.n_cells = self.n_cols * self.n_rows
+
+        # device state
+        template = make_empty_frame(
+            build_pyramid(jnp.zeros((cam.height, cam.width), jnp.float32),
+                          self.n_levels), self.max_fts,
+            T_cam_body=self.T_cam_body)
+        self.ring = make_ring(template, cap.max_kfs)
+        self.pool = make_pool(cap.max_points, cap.max_obs_per_point)
+        self.last_frame: Optional[FrameState] = None
+        self.T_rel_prev = SE3.identity()     # constant-velocity model
+        self.frames_since_kf = 0
+        self.frame_count = 0
+        self.reloc_trials = 0
+        self.depth_median = float(cfg.init.expected_avg_depth)
+        self.depth_min = self.depth_median * 0.1
+        # first-keyframe tracking state (initialization)
+        self._init_ref_px = None
+
+        self._jit_tracking = jax.jit(self._tracking_step)
+        self._jit_keyframe = jax.jit(self._keyframe_step)
+        self._jit_detect = jax.jit(self._detect_into_frame)
+        self._jit_klt = jax.jit(self._klt_track)
+
+        self.stats = {}
+
+    # ------------------------------------------------------------------
+    # jitted stage programs
+    # ------------------------------------------------------------------
+    def _tracking_step(self, ring, pool, last_frame, cur_frame, T_prior_rel,
+                       depth_scalars):
+        """Sparse align → reproject → pose opt → structure opt → seed
+        update. One fused device program per tracked frame."""
+        cfg = self.cfg
+        cam = self.cam
+
+        # ---- 1. sparse image alignment (vs last frame) ----------------
+        xyz_w, has_pt = _feature_world_points(last_frame, ring, pool)
+        last_pos = last_frame.T_world_cam.t
+        depth_ref = jnp.linalg.norm(xyz_w - last_pos[None], axis=-1)
+        valid_align = last_frame.valid_mask() & has_pt
+        inp = sia_mod.CameraInput(
+            pyr_ref=last_frame.pyramid, pyr_cur=cur_frame.pyramid,
+            px_ref=last_frame.px, f_ref=last_frame.f, depth_ref=depth_ref,
+            valid=valid_align, T_cam_body=self.T_cam_body, cam=cam)
+        opts = sia_mod.SparseImgAlignOptions(
+            max_level=cfg.img_align.max_level,
+            min_level=cfg.img_align.min_level,
+            estimate_alpha=cfg.img_align.estimate_illumination_gain,
+            estimate_beta=cfg.img_align.estimate_illumination_offset,
+            prior_lambda_rot=cfg.base.img_align_prior_lambda_rot,
+            prior_lambda_trans=cfg.base.img_align_prior_lambda_trans,
+            max_iter=cfg.img_align.max_iter)
+        # init from constant-velocity prior (body frame)
+        T_body_cam = self.T_cam_body.inverse()
+        T_prior_body = (T_body_cam.compose(T_prior_rel)
+                        .compose(self.T_cam_body))
+        st0 = sia_mod.AlignState(T_prior_body, jnp.asarray(0.0),
+                                 jnp.asarray(0.0))
+        align_state, align_stats = sia_mod.run(
+            [inp], st0, opts,
+            T_prior=T_prior_body if (cfg.base.img_align_prior_lambda_rot > 0
+                                     ) else None)
+        T_cur_world = (self.T_cam_body.compose(align_state.T_icur_iref)
+                       .compose(T_body_cam)
+                       .compose(last_frame.T_cam_world))
+
+        # ---- 2. reproject map -----------------------------------------
+        ring_pyr = RingPyramid(ring.frames.pyramid)
+        cur_fp = FlatPyramid(cur_frame.pyramid)
+        cur_bil = lambda lvl, uv: pyr_bilinear(cur_fp, lvl, uv)  # noqa: E731
+        ov = overlap_mask(ring, T_cur_world, cfg.reprojector.max_n_kfs)
+        rep = repro_mod.reproject(
+            ring, ring_pyr, pool, T_cur_world, cur_bil, cam, ov,
+            jnp.zeros((self.n_cells,), bool), self.n_cols, self.n_rows,
+            max_search_level=cfg.detector.max_level,
+            opts=repro_mod.ReprojectorOptions(
+                max_n_kfs=cfg.reprojector.max_n_kfs,
+                max_n_features_per_frame=min(
+                    cfg.reprojector.max_n_features_per_frame, self.max_fts),
+                cell_size=cfg.reprojector.cell_size,
+                reproject_unconverged_seeds=(
+                    cfg.reprojector.reproject_unconverged_seeds),
+                affine_est_offset=cfg.reprojector.affine_est_offset,
+                affine_est_gain=cfg.reprojector.affine_est_gain))
+
+        # write reprojected features into the frame store
+        m = rep.px.shape[0]
+        frame = cur_frame._replace(
+            T_cam_world=T_cur_world,
+            px=cur_frame.px.at[:m].set(rep.px),
+            f=cur_frame.f.at[:m].set(rep.f),
+            grad=cur_frame.grad.at[:m].set(rep.grad),
+            level=cur_frame.level.at[:m].set(rep.level),
+            ftype=cur_frame.ftype.at[:m].set(rep.ftype),
+            landmark_id=cur_frame.landmark_id.at[:m].set(rep.landmark_id),
+            seed_ref_kf=cur_frame.seed_ref_kf.at[:m].set(rep.seed_ref_kf),
+            seed_ref_idx=cur_frame.seed_ref_idx.at[:m].set(rep.seed_ref_idx),
+        )
+
+        # ---- 3. pose refinement ---------------------------------------
+        xyz_cur, has_cur = _feature_world_points(frame, ring, pool)
+        fs = po_mod.PoseOptFeatures(
+            xyz_world=xyz_cur, f=frame.f, grad=frame.grad,
+            level=frame.level, is_edgelet=ft.is_edgelet(frame.ftype),
+            valid=frame.valid_mask() & has_cur,
+            T_cam_body=self.T_cam_body, cam=cam)
+        T_body_world = self.T_cam_body.inverse().compose(frame.T_cam_world)
+        po_res = po_mod.optimize_pose(
+            [fs], T_body_world,
+            po_mod.PoseOptOptions(
+                reproj_thresh_px=cfg.base.poseoptim_thresh,
+                prior_lambda=cfg.base.poseoptim_prior_lambda))
+        T_cur_world = self.T_cam_body.compose(po_res.T_body_world)
+        outlier = frame.valid_mask() & has_cur & ~po_res.inlier[0]
+        frame = frame._replace(
+            T_cam_world=T_cur_world,
+            ftype=jnp.where(outlier, jnp.int32(ft.FeatureType.OUTLIER),
+                            frame.ftype))
+
+        # ---- 4. structure refinement ----------------------------------
+        lid = frame.landmark_id
+        has_lm = (lid >= 0) & frame.valid_mask()
+        lidc = jnp.clip(lid, 0, pool.capacity - 1)
+        obs_kf = pool.obs_kf[lidc]                     # [N, O]
+        obs_idx = pool.obs_idx[lidc]
+        O = obs_kf.shape[1]
+        okf = jnp.clip(obs_kf, 0, ring.capacity - 1)
+        oidx = jnp.clip(obs_idx, 0, self.max_fts - 1)
+        f_obs = ring.frames.f[okf, oidx]               # [N, O, 3]
+        T_obs = jax.tree.map(lambda x: x[okf], ring.frames.T_cam_world)
+        obs_ok = (obs_kf >= 0) & ring.valid[okf]
+        # a point needs ≥2 live observations to be re-triangulable
+        enough = jnp.sum(obs_ok.astype(jnp.int32), axis=-1) >= 2
+        so_res = so_mod.optimize_points(
+            pool.pos[lidc], f_obs, T_obs, obs_ok, has_lm & enough, n_iter=5)
+        new_pos = pool.pos.at[jnp.where(has_lm, lidc, pool.capacity)].set(
+            so_res.xyz, mode="drop")
+        pool = pool._replace(pos=new_pos)
+
+        # ---- 5. depth-filter update of ring seeds ---------------------
+        K, F = ring.capacity, self.max_fts
+        NC = K * F
+
+        def rflat(x):
+            return x.reshape((NC,) + x.shape[2:])
+
+        kf_idx = jnp.repeat(jnp.arange(K, dtype=jnp.int32), F)
+        T_kf_world = jax.tree.map(lambda x: x[kf_idx],
+                                  ring.frames.T_cam_world)
+        T_cur_kf = T_cur_world.compose(T_kf_world.inverse())
+        # only SELF-ANCHORED seeds (seed_ref_kf < 0) own a live seed state;
+        # reprojected seed observations carry a reference, not a state
+        owned = rflat(ring.frames.seed_ref_kf) < 0
+        seed_valid = (ov & ring.valid)[kf_idx] & owned
+
+        def ring_bil(level, uv):
+            kf_b = jnp.broadcast_to(
+                kf_idx.reshape(kf_idx.shape + (1,) * (uv.ndim - 2)),
+                uv.shape[:-1])
+            return ring_pyr.bilinear(kf_b, level, uv)
+
+        cur_nn = lambda lvl, xi, yi: pyr_nearest(cur_fp, lvl, xi, yi)  # noqa
+        mu_range = 1.0 / depth_scalars[1]
+        upd = df_mod.update_seeds(
+            ring_bil, cur_bil, cur_nn, cam, cam, T_cur_kf,
+            rflat(ring.frames.px), rflat(ring.frames.f),
+            rflat(ring.frames.grad), rflat(ring.frames.level),
+            jnp.where(seed_valid, rflat(ring.frames.ftype),
+                      jnp.int32(ft.FeatureType.INVALID)),
+            rflat(ring.frames.seed_state), mu_range,
+            max_search_level=cfg.depth_filter.max_search_level,
+            sigma2_convergence_threshold=(
+                cfg.depth_filter.seed_convergence_sigma2_thresh))
+        new_seed_state = jnp.where(
+            seed_valid[:, None], upd.seed_state,
+            rflat(ring.frames.seed_state)).reshape(K, F, 4)
+        new_ftype = jnp.where(seed_valid, upd.ftype,
+                              rflat(ring.frames.ftype)).reshape(K, F)
+        ring = ring._replace(frames=ring.frames._replace(
+            seed_state=new_seed_state, ftype=new_ftype))
+
+        # ---- stats -----------------------------------------------------
+        n_tracked = jnp.sum((frame.valid_mask()
+                             & (frame.landmark_id >= 0)).astype(jnp.int32))
+        n_total = frame.num_valid()
+        # scene depth for keyframe policy
+        z_med, z_min, _ = _scene_depth(frame, xyz_cur,
+                                       frame.valid_mask() & has_cur)
+
+        # keyframe-policy signals (reference needNewKf :1012-1121), device:
+        # (a) median px disparity of landmarks co-observed with the last KF
+        last_kf = jnp.clip(ring.last_added, 0, ring.capacity - 1)
+        kf_lid = ring.frames.landmark_id[last_kf]
+        kf_px = ring.frames.px[last_kf]
+        P = pool.capacity
+        lid2idx = jnp.full((P + 1,), -1, jnp.int32).at[
+            jnp.where(kf_lid >= 0, kf_lid, P)].set(
+            jnp.arange(self.max_fts, dtype=jnp.int32), mode="drop")
+        cur_lid = jnp.clip(frame.landmark_id, 0, P - 1)
+        co = lid2idx[jnp.where(frame.landmark_id >= 0, cur_lid, P)]
+        co_ok = (co >= 0) & frame.valid_mask()
+        disp = jnp.linalg.norm(
+            frame.px - kf_px[jnp.clip(co, 0, self.max_fts - 1)], axis=-1)
+        from svo_pro_universal_tpu.utils.robust import masked_median
+        med_disparity = masked_median(disp, co_ok)
+        # (b) nearest visible KF within both angle and metric distance
+        kf_rel_t = jnp.linalg.norm(
+            frame.T_world_cam.t[None] -
+            ring.frames.T_cam_world.inverse().t, axis=-1)
+        dq = jax.vmap(lambda q: se3_log(
+            SE3(q, jnp.zeros(3)).inverse().compose(
+                SE3(frame.T_cam_world.q, jnp.zeros(3)))))(
+            ring.frames.T_cam_world.q)
+        kf_ang = jnp.linalg.norm(dq[:, 3:], axis=-1)
+        close = (ov & ring.valid
+                 & (kf_ang < jnp.deg2rad(self.cfg.base.kfselect_min_angle))
+                 & (kf_rel_t < self.cfg.base.kfselect_min_dist_metric))
+        kf_too_close = jnp.any(close)
+
+        stats = dict(
+            med_disparity=med_disparity, kf_too_close=kf_too_close,
+            n_tracked=n_tracked, n_total=n_total,
+            align_chi2=align_stats.chi2, align_fts=align_stats.n_tracked,
+            reproj_matches=rep.n_matches, reproj_trials=rep.n_trials,
+            pose_err_before=po_res.error_before_px,
+            pose_err_after=po_res.error_after_px,
+            n_inliers=po_res.n_inliers,
+            seeds_updated=upd.n_updated, seeds_converged=upd.n_converged,
+            depth_median=z_med, depth_min=z_min)
+        return ring, pool, frame, stats
+
+    def _keyframe_step(self, ring, pool, frame, key, depth_scalars):
+        """Upgrade converged seeds to landmarks, detect new seeds, insert
+        the keyframe (reference: upgradeSeedsToFeatures
+        frame_handler_base.cpp:828-898 + FrameHandlerMono::makeKeyframe
+        frame_handler_mono.cpp:186-250)."""
+        cfg = self.cfg
+        cam = self.cam
+        # ---- upgrade: features referencing converged ring seeds -------
+        kf = jnp.clip(frame.seed_ref_kf, 0, ring.capacity - 1)
+        fidx = jnp.clip(frame.seed_ref_idx, 0, self.max_fts - 1)
+        has_seed = (frame.seed_ref_kf >= 0) & ring.valid[kf] \
+            & frame.valid_mask() & (frame.landmark_id < 0)
+        seed_type = ring.frames.ftype[kf, fidx]
+        seed_state = ring.frames.seed_state[kf, fidx]
+        converged = (ft.is_converged_seed(seed_type) & has_seed
+                     & (seed_state[:, 0] > 1e-6)      # sane inverse depth
+                     & (seed_state[:, 1] > 0.0))
+        seed_f = ring.frames.f[kf, fidx]
+        depth = 1.0 / jnp.maximum(seed_state[:, 0], 1e-12)
+        T_world_kf = jax.tree.map(lambda x: x[kf],
+                                  ring.frames.T_cam_world).inverse()
+        xyz_w = T_world_kf.apply(seed_f * depth[:, None])
+
+        pool, slots = allocate(pool, xyz_w, converged)
+        # observations: the anchor keyframe and this new keyframe
+        new_slot = eviction_slot(ring, frame.T_world_cam.t)
+        pool = add_observations(pool, slots, frame.seed_ref_kf, fidx,
+                                converged)
+        pool = add_observations(
+            pool, slots, jnp.broadcast_to(new_slot, slots.shape),
+            jnp.arange(self.max_fts, dtype=jnp.int32), converged)
+
+        # set landmark ids in this frame + flip type seed→landmark
+        frame = frame._replace(
+            landmark_id=jnp.where(converged, slots, frame.landmark_id),
+            ftype=jnp.where(converged,
+                            ft.seed_to_landmark_type(frame.ftype),
+                            frame.ftype))
+        # anchor keyframe entries flip to landmark too (stops re-seeding)
+        anchor_lid = ring.frames.landmark_id.at[
+            jnp.where(converged, kf, ring.capacity),
+            jnp.where(converged, fidx, 0)].set(slots, mode="drop")
+        anchor_type = ring.frames.ftype.at[
+            jnp.where(converged, kf, ring.capacity),
+            jnp.where(converged, fidx, 0)].set(
+            ft.seed_to_landmark_type(seed_type), mode="drop")
+        ring = ring._replace(frames=ring.frames._replace(
+            landmark_id=anchor_lid, ftype=anchor_type))
+
+        # ---- detect new features in free cells ------------------------
+        frame, n_new = self._detect_into_frame(frame, key, depth_scalars)
+
+        # ---- insert into ring -----------------------------------------
+        frame = frame._replace(is_keyframe=jnp.asarray(True))
+        ring = insert_keyframe(ring, frame, new_slot)
+        n_upgraded = jnp.sum(converged.astype(jnp.int32))
+        return ring, pool, frame, n_upgraded, n_new
+
+    def _detect_into_frame(self, frame: FrameState, key, depth_scalars):
+        """Fill free feature slots with fresh detections + seed states
+        (reference: DepthFilter::addKeyframe → initializeSeeds
+        depth_filter.cpp:89-143,300-365)."""
+        cfg = self.cfg
+        occupied = jnp.zeros((self.n_cells,), bool)
+        px = frame.px
+        cs = cfg.detector.cell_size
+        cx = jnp.clip((px[:, 0] // cs).astype(jnp.int32), 0, self.n_cols - 1)
+        cy = jnp.clip((px[:, 1] // cs).astype(jnp.int32), 0, self.n_rows - 1)
+        cell = cy * self.n_cols + cx
+        occupied = occupied.at[jnp.where(frame.valid_mask(), cell,
+                                         self.n_cells)].set(True, mode="drop")
+        det = det_mod.detect_features(
+            frame.pyramid, occupied, cs, self.n_cols, self.n_rows,
+            max_features=self.max_fts,
+            threshold_primary=cfg.detector.threshold_primary,
+            threshold_secondary=cfg.detector.threshold_secondary,
+            threshold_shitomasi=cfg.detector.threshold_shitomasi,
+            min_level=0, max_level=cfg.detector.max_level,
+            detector_type=cfg.detector.detector_type)
+
+        # free slots: invalid entries of the frame store
+        free = ~frame.valid_mask()
+        order = jnp.argsort(~free)          # free slots first, stable
+        n_det = det.px.shape[0]
+        det_slot = order[jnp.arange(n_det)]
+        can_place = det.valid & (jnp.arange(n_det)
+                                 < jnp.sum(free.astype(jnp.int32)))
+        widx = jnp.where(can_place, det_slot, frame.max_fts)
+
+        f_new = proj.backproject(self.cam, det.px)
+        depth_mean, depth_min = depth_scalars[0], depth_scalars[1]
+        seeds = seed_mod.make(jnp.full((n_det,), 1.0) * depth_mean,
+                              jnp.full((n_det,), 1.0) * depth_min)
+
+        frame = frame._replace(
+            px=frame.px.at[widx].set(det.px, mode="drop"),
+            f=frame.f.at[widx].set(f_new, mode="drop"),
+            grad=frame.grad.at[widx].set(det.grad, mode="drop"),
+            score=frame.score.at[widx].set(det.score, mode="drop"),
+            level=frame.level.at[widx].set(det.level, mode="drop"),
+            ftype=frame.ftype.at[widx].set(det.ftype, mode="drop"),
+            landmark_id=frame.landmark_id.at[widx].set(-1, mode="drop"),
+            seed_ref_kf=frame.seed_ref_kf.at[widx].set(-1, mode="drop"),
+            seed_ref_idx=frame.seed_ref_idx.at[widx].set(-1, mode="drop"),
+            seed_state=frame.seed_state.at[widx].set(seeds, mode="drop"),
+            seed_mu_range=1.0 / depth_min,
+        )
+        # self-reference: a keyframe's seeds live in its own slots
+        return frame, jnp.sum(can_place.astype(jnp.int32))
+
+    def _klt_track(self, ref_frame, cur_pyramid, px_ref, valid):
+        """Pyramidal KLT with a bidirectional consistency check: a track
+        must map back to its ref position within 1px (kills occlusion and
+        repetitive-texture lock-ons that a one-way track can't see)."""
+        tr = self.cfg.tracker
+        max_level = min(tr.klt_max_level, self.n_levels - 1)
+        sizes = [tr.klt_patch_size] * (max_level + 1)
+        fwd = align_mod.align_pyr_2d(
+            ref_frame.pyramid, cur_pyramid, px_ref, px_ref,
+            max_level=max_level, min_level=tr.klt_min_level,
+            patch_sizes=sizes, n_iter=tr.klt_max_iter, valid=valid)
+        bwd = align_mod.align_pyr_2d(
+            cur_pyramid, ref_frame.pyramid, fwd.px, fwd.px,
+            max_level=max_level, min_level=tr.klt_min_level,
+            patch_sizes=sizes, n_iter=tr.klt_max_iter,
+            valid=valid & fwd.converged)
+        roundtrip = jnp.linalg.norm(bwd.px - px_ref, axis=-1)
+        ok = valid & fwd.converged & bwd.converged & (roundtrip < 1.0)
+        return fwd.px, ok
+
+    # ------------------------------------------------------------------
+    # host state machine
+    # ------------------------------------------------------------------
+    def _make_frame(self, img, timestamp: float) -> FrameState:
+        pyr = build_pyramid(image_to_float(img), self.n_levels)
+        frame = make_empty_frame(pyr, self.max_fts,
+                                 T_cam_body=self.T_cam_body,
+                                 frame_id=self.frame_count,
+                                 timestamp=timestamp)
+        return frame
+
+    def add_image(self, img, timestamp: float) -> FrameResult:
+        frame = self._make_frame(img, timestamp)
+        self.frame_count += 1
+        if self.stage == Stage.FIRST_FRAME:
+            out = self._process_first_frame(frame)
+        elif self.stage == Stage.INITIALIZING:
+            out = self._process_init(frame)
+        elif self.stage == Stage.TRACKING:
+            out = self._process_tracking(frame)
+        else:
+            out = self._process_reloc(frame)
+        return out
+
+    def _depth_scalars(self):
+        return jnp.asarray([self.depth_median, self.depth_min], jnp.float32)
+
+    def _result(self, frame: FrameState, n_tracked=0,
+                quality=TrackingQuality.GOOD, is_kf=False) -> FrameResult:
+        T = np.asarray(frame.T_world_cam.as_matrix())
+        return FrameResult(T, self.stage, int(n_tracked), quality, is_kf)
+
+    def _process_first_frame(self, frame: FrameState) -> FrameResult:
+        self.rng_key, k = jax.random.split(self.rng_key)
+        frame, n_new = self._jit_detect(frame, k, self._depth_scalars())
+        if int(n_new) < self.cfg.init.init_min_features:
+            return self._result(frame, 0, TrackingQuality.INSUFFICIENT)
+        frame = frame._replace(is_keyframe=jnp.asarray(True))
+        self.ring = insert_keyframe(self.ring, frame, jnp.asarray(0))
+        self.last_frame = frame
+        self._init_ref_frame = frame
+        self._init_ref_px = frame.px
+        self._init_ref_valid = frame.valid_mask()
+        self.stage = Stage.INITIALIZING
+        return self._result(frame, int(n_new), is_kf=True)
+
+    def _process_init(self, frame: FrameState) -> FrameResult:
+        cfg = self.cfg
+        ref = self._init_ref_frame
+        px_cur, ok = self._jit_klt(ref, frame.pyramid, self._init_ref_px,
+                                   self._init_ref_valid)
+        n_ok = int(jnp.sum(ok.astype(jnp.int32)))
+        if n_ok < cfg.init.init_min_tracked:
+            # lost too many tracks → restart initialization
+            self.stage = Stage.FIRST_FRAME
+            self.ring = jax.tree.map(jnp.zeros_like, self.ring)
+            return self._result(frame, n_ok, TrackingQuality.INSUFFICIENT)
+
+        disp = float(init_mod.disparity(self._init_ref_px, px_cur, ok))
+        if disp < cfg.init.init_min_disparity:
+            self.last_frame = frame
+            return self._result(frame, n_ok)
+
+        f_cur = proj.backproject(self.cam, px_cur)
+        self.rng_key, k = jax.random.split(self.rng_key)
+        res = init_mod.ransac_relative_pose(
+            ref.f, f_cur, ok, k, self.cam.focal_length,
+            reproj_thresh_px=cfg.init.reproj_error_thresh)
+        if int(res.n_inliers) < cfg.init.init_min_inliers:
+            self.last_frame = frame
+            return self._result(frame, n_ok, TrackingQuality.INSUFFICIENT)
+
+        T_cur_ref, depths, scale = init_mod.rescale_to_mean_depth(
+            res.T_cur_ref, res.depth_ref, res.inliers,
+            cfg.init.expected_avg_depth)
+        self._finish_init(frame, px_cur, f_cur, ok & res.inliers,
+                          T_cur_ref, depths)
+        return self._result(self.last_frame, int(res.n_inliers), is_kf=True)
+
+    def _finish_init(self, frame, px_cur, f_cur, inliers, T_cur_ref, depths):
+        """Create the second keyframe with triangulated landmarks
+        (reference: FrameHandlerMono::processSecondFrame
+        frame_handler_mono.cpp:82-117)."""
+        ref = self._init_ref_frame
+        # depth sanity gate (reference triangulation min/max depth filtering)
+        med = self.cfg.init.expected_avg_depth
+        inliers = inliers & (depths > 0.1 * med) & (depths < 5.0 * med)
+        # world = first keyframe camera frame
+        pts_w = ref.f * depths[:, None]
+        self.pool, slots = allocate(self.pool, pts_w, inliers)
+        n = self.max_fts
+        idx = jnp.arange(n, dtype=jnp.int32)
+        self.pool = add_observations(self.pool, slots,
+                                     jnp.zeros((n,), jnp.int32), idx,
+                                     inliers)
+        self.pool = add_observations(self.pool, slots,
+                                     jnp.ones((n,), jnp.int32), idx, inliers)
+
+        corner = jnp.int32(ft.FeatureType.CORNER)
+        invalid = jnp.int32(ft.FeatureType.INVALID)
+        # ref keyframe: inlier features become landmarks
+        ref_upd = ref._replace(
+            landmark_id=jnp.where(inliers, slots, -1),
+            ftype=jnp.where(inliers, corner, ref.ftype))
+        self.ring = insert_keyframe(self.ring, ref_upd, jnp.asarray(0))
+
+        frame = frame._replace(
+            T_cam_world=T_cur_ref.compose(ref.T_cam_world),
+            px=px_cur, f=f_cur,
+            grad=ref.grad, level=ref.level,
+            ftype=jnp.where(inliers, corner, invalid),
+            landmark_id=jnp.where(inliers, slots, -1),
+            is_keyframe=jnp.asarray(True))
+        # fill remaining slots with new seeds
+        self.rng_key, k = jax.random.split(self.rng_key)
+        self.depth_median = float(self.cfg.init.expected_avg_depth)
+        self.depth_min = self.depth_median * 0.1
+        frame, _ = self._jit_detect(frame, k, self._depth_scalars())
+        self.ring = insert_keyframe(self.ring, frame, jnp.asarray(1))
+        self.last_frame = frame
+        self.T_rel_prev = SE3.identity()
+        self.frames_since_kf = 0
+        self.stage = Stage.TRACKING
+
+    def _process_tracking(self, frame: FrameState) -> FrameResult:
+        cfg = self.cfg
+        T_prior_rel = self.T_rel_prev    # constant velocity (cam frame)
+        ring, pool, tracked, stats = self._jit_tracking(
+            self.ring, self.pool, self.last_frame, frame, T_prior_rel,
+            self._depth_scalars())
+        self.ring, self.pool = ring, pool
+        self.stats = {k: np.asarray(v) for k, v in stats.items()}
+
+        n_tracked = int(stats["n_tracked"])
+        n_total = int(stats["n_total"])
+        quality = self._check_quality(n_tracked)
+        if quality == TrackingQuality.INSUFFICIENT:
+            self.stage = Stage.RELOCALIZING
+            self.reloc_trials = 0
+            # keep last good frame as relocalization anchor
+            return self._result(tracked, n_tracked, quality)
+
+        # motion model update
+        T_rel = tracked.T_cam_world.compose(
+            self.last_frame.T_cam_world.inverse())
+        self.T_rel_prev = T_rel
+        self.frames_since_kf += 1
+        dm = float(stats["depth_median"])
+        if np.isfinite(dm) and 1e-3 < dm < 1e6:
+            self.depth_median = dm
+            # new seeds span down to half the closest scene depth
+            # (reference: frame_handler_mono.cpp addKeyframe 0.5*depth_min)
+            self.depth_min = max(0.5 * float(stats["depth_min"]), 1e-3)
+
+        is_kf = self._need_new_kf(n_tracked)
+        if is_kf:
+            self.rng_key, k = jax.random.split(self.rng_key)
+            ring, pool, tracked, n_up, n_new = self._jit_keyframe(
+                self.ring, self.pool, tracked, k, self._depth_scalars())
+            self.ring, self.pool = ring, pool
+            self.stats["kf_upgraded"] = int(n_up)
+            self.stats["kf_new_seeds"] = int(n_new)
+            self.frames_since_kf = 0
+
+        self.last_frame = tracked
+        return self._result(tracked, n_tracked, quality, is_kf)
+
+    def _check_quality(self, n_tracked: int) -> TrackingQuality:
+        """reference: setTrackingQuality frame_handler_base.cpp:991-1009."""
+        if n_tracked < self.cfg.base.quality_min_fts:
+            return TrackingQuality.INSUFFICIENT
+        # feature-drop check needs the previous count
+        prev = getattr(self, "_prev_n_tracked", n_tracked)
+        self._prev_n_tracked = n_tracked
+        if prev - n_tracked > self.cfg.base.quality_max_fts_drop:
+            return TrackingQuality.BAD
+        return TrackingQuality.GOOD
+
+    def _need_new_kf(self, n_tracked: int) -> bool:
+        """FORWARD keyframe criterion, exactly the reference's gate order
+        (reference: needNewKf frame_handler_base.cpp:1030-1121). The signals
+        (co-observed disparity, KF proximity) come from the tracking step."""
+        cfg = self.cfg.base
+        if n_tracked > cfg.kfselect_numkfs_upper_thresh:
+            return False
+        if self.frames_since_kf < cfg.kfselect_min_num_frames_between_kfs:
+            return False
+        if n_tracked < cfg.kfselect_numkfs_lower_thresh:
+            return True
+        if cfg.kfselect_min_disparity > 0:
+            med_disp = float(self.stats.get("med_disparity", np.inf))
+            if np.isfinite(med_disp) and \
+                    med_disp < cfg.kfselect_min_disparity:
+                return False
+        if bool(self.stats.get("kf_too_close", False)):
+            return False
+        return True
+
+    def _process_reloc(self, frame: FrameState) -> FrameResult:
+        """Relocalize against the closest keyframe by re-running tracking
+        with the keyframe as reference (reference: relocalizeFrame
+        frame_handler_mono.cpp:254-279)."""
+        self.reloc_trials += 1
+        slot = int(closest_keyframe_slot(
+            self.ring, self.last_frame.T_cam_world))
+        kf = jax.tree.map(lambda x: x[slot], self.ring.frames)
+        ring, pool, tracked, stats = self._jit_tracking(
+            self.ring, self.pool, kf, frame, SE3.identity(),
+            self._depth_scalars())
+        n_tracked = int(stats["n_tracked"])
+        if n_tracked >= self.cfg.base.quality_min_fts:
+            self.ring, self.pool = ring, pool
+            self.last_frame = tracked
+            self.T_rel_prev = SE3.identity()
+            self.stage = Stage.TRACKING
+            return self._result(tracked, n_tracked)
+        if self.reloc_trials >= self.cfg.base.relocalization_max_trials:
+            # hard reset (reference: resetVisionFrontendCommon)
+            self.stage = Stage.FIRST_FRAME
+            self.ring = jax.tree.map(jnp.zeros_like, self.ring)
+            self.pool = make_pool(self.cfg.capacity.max_points,
+                                  self.cfg.capacity.max_obs_per_point)
+        return self._result(frame, n_tracked, TrackingQuality.INSUFFICIENT)
+
+
+def _scene_depth(frame: FrameState, xyz_w: jax.Array, valid: jax.Array):
+    from svo_pro_universal_tpu.common.frame import scene_depth_stats
+    return scene_depth_stats(frame, xyz_w, valid)

@@ -118,21 +118,54 @@ def ransac_relative_pose(
     n = f_ref.shape[0]
     thresh_sq = jnp.square(reproj_thresh_px / focal_length)
 
-    # sample valid indices with probability mass on valid rows
+    # hypothesis banks sampled WITHOUT replacement (a repeated row makes
+    # the minimal problem rank-deficient); mixed sample sizes — minimal 8s
+    # survive outliers, 16s average noise (small-baseline E is noise-limited)
     p = valid.astype(jnp.float32)
     p = p / jnp.maximum(jnp.sum(p), 1.0)
-    idx = jax.random.categorical(
-        key, jnp.log(jnp.maximum(p, 1e-12))[None, :].repeat(
-            n_hypotheses * 8, 0)).reshape(n_hypotheses, 8)
-    fr = f_ref[idx]
-    fc = f_cur[idx]
-    E = _essential_from_8pt(fr, fc)
-    R, t = _decompose_essential(E)               # [H,4,3,3], [H,4,3]
-    counts, _ = _score_pose(R, t, f_ref, f_cur, valid, thresh_sq)  # [H,4]
-    flat = jnp.argmax(counts.reshape(-1))
-    h, c = flat // 4, flat % 4
-    R_best, t_best = R[h, c], t[h, c]
+    keys = jax.random.split(key, n_hypotheses)
+    all_idx = jnp.arange(n, dtype=jnp.int32)
+
+    def draw(k, size):
+        return jax.random.choice(k, all_idx, (size,), replace=False, p=p)
+
+    h8 = n_hypotheses // 2
+    idx8 = jax.vmap(lambda k: draw(k, 8))(keys[:h8])
+    idx16 = jax.vmap(lambda k: draw(k, 16))(keys[h8:])
+
+    def best_of(idx_bank):
+        E = _essential_from_8pt(f_ref[idx_bank], f_cur[idx_bank])
+        R, t = _decompose_essential(E)           # [H,4,3,3], [H,4,3]
+        counts, _ = _score_pose(R, t, f_ref, f_cur, valid, thresh_sq)
+        flat = jnp.argmax(counts.reshape(-1))
+        h, c = flat // 4, flat % 4
+        return R[h, c], t[h, c], counts[h, c]
+
+    R8, t8, c8 = best_of(idx8)
+    R16, t16, c16 = best_of(idx16)
+    take16 = c16 >= c8
+    R_best = jnp.where(take16, R16, R8)
+    t_best = jnp.where(take16, t16, t8)
     n_inl, inl = _score_pose(R_best, t_best, f_ref, f_cur, valid, thresh_sq)
+
+    # LO-RANSAC polish with threshold annealing: re-estimate E on the
+    # consensus set (zeroed non-inlier rows drop out of the 9×9 normal
+    # matrix) while shrinking the inlier gate toward the target threshold
+    for anneal in (4.0, 2.0, 1.0, 1.0):
+        gate = thresh_sq * anneal
+        _, inl_gate = _score_pose(R_best, t_best, f_ref, f_cur, valid, gate)
+        frz = jnp.where(inl_gate[:, None], f_ref, 0.0)[None]
+        fcz = jnp.where(inl_gate[:, None], f_cur, 0.0)[None]
+        E_ref = _essential_from_8pt(frz, fcz)
+        R4, t4 = _decompose_essential(E_ref)
+        counts4, _ = _score_pose(R4[0], t4[0], f_ref, f_cur, valid,
+                                 thresh_sq)
+        c4 = jnp.argmax(counts4)
+        better = counts4[c4] >= n_inl
+        R_best = jnp.where(better, R4[0, c4], R_best)
+        t_best = jnp.where(better, t4[0, c4], t_best)
+        n_inl, inl = _score_pose(R_best, t_best, f_ref, f_cur, valid,
+                                 thresh_sq)
 
     T_cur_ref = SE3(matrix_to_quat(R_best), t_best)
     depth, tri_ok = depth_from_triangulation(T_cur_ref, f_ref, f_cur)

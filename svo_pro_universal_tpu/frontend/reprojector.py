@@ -100,7 +100,10 @@ def reproject(
 
     kf_ok = (overlap & ring.valid)[kf_idx]
     has_lm = (c_lid >= 0) & pool.valid[jnp.clip(c_lid, 0, pool.capacity - 1)]
-    seed_ok = ft.is_corner_edgelet_seed(c_type)
+    # a seed candidate must be OWNED by its keyframe (seed_ref_kf < 0);
+    # reprojected copies in later keyframes are references without a state
+    owned = flat(ring.frames.seed_ref_kf) < 0
+    seed_ok = ft.is_corner_edgelet_seed(c_type) & owned
     if not opts.reproject_unconverged_seeds:
         seed_ok = seed_ok & ft.is_converged_seed(c_type)
     cand = kf_ok & (has_lm | seed_ok)

@@ -68,9 +68,16 @@ def optimize_points(
         w = ok.astype(p.dtype)
         H = jnp.einsum("poij,poik,po->pjk", J, J, w)
         g = -jnp.einsum("poij,poi,po->pj", J, e, w)
-        H = H + 1e-8 * jnp.eye(3, dtype=p.dtype)
+        # damping + step cap: a 2-view point has a flat valley along its
+        # ray — an uncapped GN step can run away and corrupt the map
+        diag = jnp.diagonal(H, axis1=-2, axis2=-1)
+        H = H + (1e-3 * diag + 1e-8)[..., None] * jnp.eye(3, dtype=p.dtype)
         dx = jnp.linalg.solve(H, g[..., None])[..., 0]
         dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+        max_step = 0.2 * jnp.maximum(jnp.linalg.norm(p, axis=-1), 1e-3)
+        dx_norm = jnp.linalg.norm(dx, axis=-1)
+        dx = dx * jnp.minimum(1.0, max_step / jnp.maximum(dx_norm, 1e-12)
+                              )[:, None]
         p_new = p + dx
         c_new = chi2_of(p_new)
         improved = c_new < best_chi2
