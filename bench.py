@@ -1,0 +1,120 @@
+"""Benchmark: mono VO frontend throughput on a EuRoC-resolution synthetic
+sequence, end-to-end through the full pipeline (pyramid, sparse align,
+reproject+match, pose opt, structure opt, ring-wide depth filter, keyframe
+steps).
+
+Prints ONE JSON line. Baseline: the reference publishes no numbers
+(BASELINE.md) — its capability claim is real-time EuRoC processing, i.e.
+the 20 Hz camera rate, on a desktop CPU. vs_baseline is therefore measured
+fps / 20.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from svo_pro_universal_tpu.cameras.projections import Camera, backproject, project
+    from svo_pro_universal_tpu.config import Config
+    from svo_pro_universal_tpu.frontend.frame_handler import (
+        FrameHandlerMono, Stage)
+    from svo_pro_universal_tpu.ops.interp import bilinear
+    from svo_pro_universal_tpu.utils.transform import SE3, se3_exp
+
+    W, H = 752, 480                      # EuRoC cam0 resolution
+    cam = Camera.pinhole(460.0, 460.0, W / 2, H / 2, W, H)
+
+    # --- synthetic sphere+plane scene (exact novel-view rendering) -------
+    C = jnp.array([0.0, 0.0, 2.8])
+    R = 1.4
+    PN = jnp.array([0.2, -0.1, 1.0])
+    PD = 4.5
+
+    def texture(p):
+        x, y, z = p[..., 0], p[..., 1], p[..., 2]
+        smooth = (115.0 + 35.0 * jnp.sin(4.0 * x) * jnp.cos(5.0 * y)
+                  + 25.0 * jnp.sin(3.0 * (x + z)))
+        checker = (25.0 * jnp.sign(jnp.sin(14.0 * x + 0.7))
+                   * jnp.sign(jnp.sin(14.0 * y + 0.3))
+                   * jnp.sign(jnp.sin(11.0 * z + 0.5)))
+        return jnp.clip(smooth + checker, 0.0, 255.0)
+
+    def render(T_cam_world):
+        yy, xx = jnp.mgrid[0:H, 0:W]
+        uv = jnp.stack([xx, yy], -1).reshape(-1, 2).astype(jnp.float32)
+        f = backproject(cam, uv)
+        Twc = T_cam_world.inverse()
+        d = Twc.rotate(f)
+        oc = Twc.t - C
+        b = jnp.sum(d * oc[None], axis=-1)
+        c = jnp.sum(oc * oc) - R ** 2
+        disc = b * b - c
+        oks = disc > 0
+        ts = jnp.where(oks, -b - jnp.sqrt(jnp.maximum(disc, 0.0)), -1.0)
+        denom = d @ PN
+        tp = (PD - jnp.dot(Twc.t, PN)) / jnp.where(jnp.abs(denom) > 1e-9,
+                                                   denom, 1e-9)
+        t = jnp.where(oks & (ts > 0), ts, tp)
+        p = Twc.t[None] + t[:, None] * d
+        return texture(p).reshape(H, W).astype(jnp.float32)
+
+    render_j = jax.jit(render)
+
+    cfg = Config()
+    cfg.capacity.max_fts = 360
+    cfg.capacity.max_kfs = 8
+    cfg.capacity.max_points = 4096
+    cfg.n_pyr_levels = 4
+    cfg.detector.cell_size = 30
+    cfg.detector.threshold_primary = 8.0
+    cfg.init.init_min_disparity = 20.0
+    cfg.init.reproj_error_thresh = 1.0
+    cfg.init.expected_avg_depth = 2.0
+    cfg.init.init_min_features = 60
+    cfg.init.init_min_tracked = 40
+    cfg.init.init_min_inliers = 30
+    cfg.depth_filter.seed_convergence_sigma2_thresh = 60.0
+    cfg.base.quality_min_fts = 20
+    cfg.base.kfselect_numkfs_lower_thresh = 60
+    cfg.base.kfselect_min_disparity = 30.0
+    cfg.base.kfselect_min_dist_metric = 0.1
+    cfg.reprojector.max_n_features_per_frame = 200
+
+    n_frames = 40
+    poses = []
+    for t in range(n_frames):
+        tw = np.array([0.02 * t, 0.01 * np.sin(t * 0.3), 0.003 * t,
+                       0.002 * np.sin(t * 0.2), 0.0003 * t, 0.001 * t],
+                      np.float32)
+        poses.append(se3_exp(jnp.asarray(tw)))
+    frames = [np.asarray(render_j(p)) for p in poses]
+
+    handler = FrameHandlerMono(cfg, cam)
+    times = []
+    tracked_frames = 0
+    for t, img in enumerate(frames):
+        t0 = time.perf_counter()
+        res = handler.add_image(img, t * 0.05)
+        dt = time.perf_counter() - t0
+        if handler.stage == Stage.TRACKING:
+            tracked_frames += 1
+            if tracked_frames > 5:       # skip compile/warmup frames
+                times.append(dt)
+
+    fps = 1.0 / float(np.mean(times)) if times else 0.0
+    baseline_fps = 20.0                  # EuRoC camera rate (real-time claim)
+    print(json.dumps({
+        "metric": "frontend_fps",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / baseline_fps, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -182,6 +182,7 @@ def run(
     state0: AlignState,
     opts: SparseImgAlignOptions,
     T_prior: SE3 | None = None,
+    axis_name: str | None = None,
 ) -> tuple[AlignState, AlignStats]:
     """Coarse-to-fine sparse image alignment over all cameras.
 
@@ -222,6 +223,14 @@ def run(
                 g = g - jnp.einsum("npi,np->i", jac, rw)
                 c2 = c2 + jnp.sum(rw * res)
                 nm = nm + jnp.sum((vis & ok).astype(jnp.int32))
+            if axis_name is not None:
+                # features sharded over the mesh: reduce the normal system
+                # over ICI — the collective analogue of the reference's
+                # single-threaded accumulation loop
+                H = jax.lax.psum(H, axis_name)
+                g = jax.lax.psum(g, axis_name)
+                c2 = jax.lax.psum(c2, axis_name)
+                nm = jax.lax.psum(nm, axis_name)
             if not opts.estimate_alpha:
                 H = H.at[6, 6].set(1.0)
                 g = g.at[6].set(0.0)
