@@ -703,3 +703,90 @@ class FrameHandlerMono:
 def _scene_depth(frame: FrameState, xyz_w: jax.Array, valid: jax.Array):
     from svo_pro_universal_tpu.common.frame import scene_depth_stats
     return scene_depth_stats(frame, xyz_w, valid)
+
+
+class FrameHandlerStereo(FrameHandlerMono):
+    """Stereo pipeline: instant metric bootstrap from the calibrated pair,
+    left-camera direct tracking, stereo re-triangulation at every keyframe
+    (reference: FrameHandlerStereo frame_handler_stereo.cpp:66-213 +
+    StereoTriangulation stereo_triangulation.cpp:23-141). Full multi-camera
+    tracking (FrameHandlerArray) shares this structure with N CameraInputs.
+    """
+
+    def __init__(self, cfg: Config, cam0: proj.Camera, cam1: proj.Camera,
+                 T_body_cam0: SE3, T_body_cam1: SE3, seed: int = 0):
+        super().__init__(cfg, cam0, T_cam_body=T_body_cam0.inverse(),
+                         seed=seed)
+        self.cam1 = cam1
+        self.T_c1_c0 = T_body_cam1.inverse().compose(T_body_cam0)
+        from svo_pro_universal_tpu.frontend import stereo_triangulation as st
+        self._st = st
+        self._st_opts = st.StereoTriangulationOptions(
+            mean_depth_inv=cfg.stereo.mean_depth_inv,
+            min_depth_inv=cfg.stereo.min_depth_inv,
+            max_depth_inv=cfg.stereo.max_depth_inv,
+            max_search_level=cfg.detector.max_level)
+        self._jit_stereo_lm = jax.jit(self._stereo_landmarks)
+
+    def _stereo_landmarks(self, ring, pool, frame, pyr1):
+        """Triangulate this keyframe's fresh seeds against the right image
+        and promote successes straight to metric landmarks."""
+        own_seed = (frame.valid_mask() & ft.is_unconverged_seed(frame.ftype)
+                    & (frame.seed_ref_kf < 0) & (frame.landmark_id < 0))
+        m = self._st.triangulate_pair(
+            frame.pyramid, pyr1, self.cam, self.cam1, self.T_c1_c0,
+            frame.px, frame.f, frame.grad, frame.level, frame.ftype,
+            own_seed, self._st_opts)
+        ok = m.success & own_seed
+        xyz_w = frame.T_world_cam.apply(frame.f * m.depth0[:, None])
+        pool, slots = allocate(pool, xyz_w, ok)
+        slot_kf = ring.last_added
+        pool = add_observations(
+            pool, slots, jnp.broadcast_to(slot_kf, slots.shape),
+            jnp.arange(self.max_fts, dtype=jnp.int32), ok)
+        frame = frame._replace(
+            landmark_id=jnp.where(ok, slots, frame.landmark_id),
+            ftype=jnp.where(ok, ft.seed_to_landmark_type(
+                ft.seed_to_converged(frame.ftype)), frame.ftype))
+        ring = insert_keyframe(ring, frame, slot_kf)
+        return ring, pool, frame, jnp.sum(ok.astype(jnp.int32))
+
+    def add_image_pair(self, img0, img1, timestamp: float) -> FrameResult:
+        self._pyr1 = build_pyramid(image_to_float(img1), self.n_levels)
+        return self.add_image(img0, timestamp)
+
+    def _process_first_frame(self, frame: FrameState) -> FrameResult:
+        self.rng_key, k = jax.random.split(self.rng_key)
+        frame, n_new = self._jit_detect(frame, k, self._depth_scalars())
+        if int(n_new) < self.cfg.init.init_min_features:
+            return self._result(frame, 0, TrackingQuality.INSUFFICIENT)
+        frame = frame._replace(is_keyframe=jnp.asarray(True))
+        self.ring = insert_keyframe(self.ring, frame, jnp.asarray(0))
+        self.ring, self.pool, frame, n_lm = self._jit_stereo_lm(
+            self.ring, self.pool, frame, self._pyr1)
+        if int(n_lm) < self.cfg.init.init_min_inliers:
+            # not enough stereo matches → retry next frame
+            self.ring = jax.tree.map(jnp.zeros_like, self.ring)
+            self.pool = make_pool(self.cfg.capacity.max_points,
+                                  self.cfg.capacity.max_obs_per_point)
+            return self._result(frame, int(n_lm),
+                                TrackingQuality.INSUFFICIENT)
+        self.last_frame = frame
+        self.T_rel_prev = SE3.identity()
+        self.frames_since_kf = 0
+        self.stats = {}
+        self.stage = Stage.TRACKING
+        return self._result(frame, int(n_lm), is_kf=True)
+
+    def _process_init(self, frame: FrameState) -> FrameResult:
+        # stereo never needs the monocular two-view bootstrap
+        return self._process_first_frame(frame)
+
+    def _process_tracking(self, frame: FrameState) -> FrameResult:
+        res = super()._process_tracking(frame)
+        if res.is_keyframe:
+            self.ring, self.pool, self.last_frame, n_lm = \
+                self._jit_stereo_lm(self.ring, self.pool, self.last_frame,
+                                    self._pyr1)
+            self.stats["kf_stereo_landmarks"] = int(n_lm)
+        return res
