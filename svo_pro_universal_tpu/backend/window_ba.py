@@ -1,0 +1,444 @@
+"""Sliding-window visual-inertial bundle adjustment, TPU-native.
+
+Replaces the reference's (never-integrated) OKVIS-style Ceres backend
+(reference: extra/svo_ceres_backend/src/estimator.cpp — addStates:141,
+optimize:1151, applyMarginalizationStrategy:632; reprojection_error.hpp:56;
+ceres_backend_interface.hpp:21-58 [3 iterations, window of 5 keyframes + 3
+IMU frames]). Instead of a general sparse solver on heap-allocated
+parameter blocks, the whole window is ONE fixed-shape pytree:
+
+- states  [S]: T_world_body (q, p) + velocity + gyro/acc bias  (15 dof)
+- landmarks [L]: world points (3 dof), Schur-complemented every solve
+- reprojection factors [No]: (state, landmark, bearing) triplets, batched
+- IMU factors [S-1]: preintegration residuals (backend/imu_factor.py),
+  Jacobians by `jax.jacfwd` through the retraction
+- marginalization prior: dense (H0, b0) on the stacked state vector at a
+  stored linearization point (reference: marginalization_error.hpp:325)
+
+One LM iteration = one fused device program: batched residual/Jacobian
+evaluation → segment-sum assembly → Schur complement S = Hpp − U·Hll⁻¹·Uᵀ
+(an einsum over landmark blocks — the exact structure that later shards
+over the mesh with a psum) → dense solve of the [S·15] system →
+back-substitution of landmarks.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from svo_pro_universal_tpu.backend import imu_factor as imu_mod
+from svo_pro_universal_tpu.utils.transform import (
+    SE3, quat_conjugate, quat_multiply, quat_normalize, quat_rotate,
+    quat_to_matrix, skew, so3_exp, so3_log)
+
+DOF = 15  # per-state: [δp(3), δθ(3), δv(3), δbg(3), δba(3)]
+
+
+class BAOptions(NamedTuple):
+    max_iter: int = 3
+    pixel_sigma: float = 1.0          # reprojection noise (px)
+    huber_reproj: float = 2.5         # huber threshold (whitened units)
+    mu_init: float = 1e-4
+    mu_floor: float = 1e-6            # keeps weak VIO directions bounded
+    fix_first_pose: bool = True
+    gravity: tuple = (0.0, 0.0, -9.81)
+    # absolute priors anchoring the weakly observable directions
+    # (reference: imu_initialization sigmas, imu_calibration.h:85-117)
+    gyr_bias_prior_sigma: float = 0.05
+    acc_bias_prior_sigma: float = 0.5
+
+
+class Window(NamedTuple):
+    # states
+    q: jax.Array          # [S, 4] T_world_body rotation
+    p: jax.Array          # [S, 3] position
+    v: jax.Array          # [S, 3]
+    bg: jax.Array         # [S, 3]
+    ba: jax.Array         # [S, 3]
+    state_valid: jax.Array  # [S]
+    # landmarks
+    lm_pos: jax.Array     # [L, 3]
+    lm_valid: jax.Array   # [L]
+    # reprojection observations
+    obs_state: jax.Array  # [No] i32
+    obs_lm: jax.Array     # [No] i32
+    obs_f: jax.Array      # [No, 3] measured unit bearing (camera frame)
+    obs_valid: jax.Array  # [No]
+    # IMU factors between consecutive states
+    imu: imu_mod.PreintFactor   # leading dim [S-1]
+    imu_info: jax.Array         # [S-1, 15, 15]
+    imu_valid: jax.Array        # [S-1]
+    # marginalization prior (dense, at linearization point x0)
+    H_prior: jax.Array    # [S·15, S·15]
+    b_prior: jax.Array    # [S·15]
+    q0: jax.Array         # [S, 4] linearization point
+    p0: jax.Array
+    v0: jax.Array
+    bg0: jax.Array
+    ba0: jax.Array
+    has_prior: jax.Array  # bool scalar
+
+    @property
+    def S(self) -> int:
+        return self.q.shape[0]
+
+    @property
+    def L(self) -> int:
+        return self.lm_pos.shape[0]
+
+
+def make_window(max_states: int, max_landmarks: int, max_obs: int) -> Window:
+    S, L, No = max_states, max_landmarks, max_obs
+    z3 = jnp.zeros((S - 1, 3, 3))
+    imu = imu_mod.PreintFactor(
+        delta_q=jnp.tile(jnp.array([1.0, 0, 0, 0]), (S - 1, 1)),
+        delta_v=jnp.zeros((S - 1, 3)), delta_p=jnp.zeros((S - 1, 3)),
+        dt=jnp.zeros((S - 1,)), J_q_bg=z3, J_v_bg=z3, J_v_ba=z3,
+        J_p_bg=z3, J_p_ba=z3, bias_gyr=jnp.zeros((S - 1, 3)),
+        bias_acc=jnp.zeros((S - 1, 3)),
+        cov=jnp.tile(jnp.eye(9)[None], (S - 1, 1, 1)))
+    return Window(
+        q=jnp.tile(jnp.array([1.0, 0, 0, 0]), (S, 1)),
+        p=jnp.zeros((S, 3)), v=jnp.zeros((S, 3)),
+        bg=jnp.zeros((S, 3)), ba=jnp.zeros((S, 3)),
+        state_valid=jnp.zeros((S,), bool),
+        lm_pos=jnp.zeros((L, 3)), lm_valid=jnp.zeros((L,), bool),
+        obs_state=jnp.zeros((No,), jnp.int32),
+        obs_lm=jnp.zeros((No,), jnp.int32),
+        obs_f=jnp.zeros((No, 3)), obs_valid=jnp.zeros((No,), bool),
+        imu=imu, imu_info=jnp.tile(jnp.eye(15)[None], (S - 1, 1, 1)),
+        imu_valid=jnp.zeros((S - 1,), bool),
+        H_prior=jnp.zeros((S * DOF, S * DOF)),
+        b_prior=jnp.zeros((S * DOF,)),
+        q0=jnp.tile(jnp.array([1.0, 0, 0, 0]), (S, 1)),
+        p0=jnp.zeros((S, 3)), v0=jnp.zeros((S, 3)),
+        bg0=jnp.zeros((S, 3)), ba0=jnp.zeros((S, 3)),
+        has_prior=jnp.asarray(False),
+    )
+
+
+# ---------------------------------------------------------------------------
+# local coordinates
+# ---------------------------------------------------------------------------
+
+def retract_states(w: Window, dx: jax.Array) -> Window:
+    """x ⊞ dx with dx [S·15]: p+=δp, q←q·Exp(δθ), v/bg/ba += δ."""
+    d = dx.reshape(w.S, DOF)
+    q = quat_normalize(quat_multiply(w.q, so3_exp(d[:, 3:6])))
+    return w._replace(q=q, p=w.p + d[:, 0:3], v=w.v + d[:, 6:9],
+                      bg=w.bg + d[:, 9:12], ba=w.ba + d[:, 12:15])
+
+
+def local_coords(w: Window) -> jax.Array:
+    """x ⊖ x0 as [S·15] (for the marginalization prior)."""
+    dphi = so3_log(quat_multiply(quat_conjugate(w.q0), w.q))
+    d = jnp.concatenate([w.p - w.p0, dphi, w.v - w.v0,
+                         w.bg - w.bg0, w.ba - w.ba0], axis=-1)
+    return d.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# system assembly
+# ---------------------------------------------------------------------------
+
+def _reproj_terms(w: Window, T_cam_body: SE3, focal: jax.Array,
+                  opts: BAOptions):
+    """Batched unit-plane reprojection residuals + Jacobians.
+
+    Returns (e [No,2], J_s [No,2,15], J_l [No,2,3], wgt [No], valid)."""
+    s = jnp.clip(w.obs_state, 0, w.S - 1)
+    l = jnp.clip(w.obs_lm, 0, w.L - 1)
+    q_s = w.q[s]
+    p_s = w.p[s]
+    X = w.lm_pos[l]
+    R_bw = quat_to_matrix(quat_conjugate(q_s))           # [No,3,3]
+    p_b = jnp.einsum("nij,nj->ni", R_bw, X - p_s)
+    R_cb = quat_to_matrix(T_cam_body.q)
+    p_c = jnp.einsum("ij,nj->ni", R_cb, p_b) + T_cam_body.t
+    z = p_c[:, 2]
+    zi = 1.0 / jnp.where(jnp.abs(z) > 1e-8, z, 1e-8)
+    uv = p_c[:, 0:2] * zi[:, None]
+    uv_meas = w.obs_f[:, 0:2] / jnp.where(
+        jnp.abs(w.obs_f[:, 2:3]) > 1e-8, w.obs_f[:, 2:3], 1e-8)
+    e = uv_meas - uv
+
+    one = jnp.ones_like(zi)
+    zero = jnp.zeros_like(zi)
+    J_uv = jnp.stack([jnp.stack([one, zero, -uv[:, 0]], -1),
+                      jnp.stack([zero, one, -uv[:, 1]], -1)], -2)
+    J_uv = J_uv * zi[:, None, None]                       # d uv / d p_c
+    J_pc = jnp.einsum("nij,jk->nik", J_uv, R_cb)          # d uv / d p_b
+    # residual e = meas − uv  →  J = −d uv/d param
+    J_dp = jnp.einsum("nij,njk->nik", J_pc, -R_bw)        # d p_b/d δp
+    J_dphi = jnp.einsum("nij,njk->nik", J_pc, skew(p_b))  # d p_b/d δθ
+    J_lm = jnp.einsum("nij,njk->nik", J_pc, R_bw)         # d p_b/d X
+    zeros9 = jnp.zeros(J_dp.shape[:-1] + (9,))
+    J_s = -jnp.concatenate([J_dp, J_dphi, zeros9], axis=-1)  # [No,2,15]
+    J_l = -J_lm
+
+    valid = (w.obs_valid & w.state_valid[s] & w.lm_valid[l] & (z > 1e-6))
+    sigma = opts.pixel_sigma / focal
+    ew = jnp.linalg.norm(e, axis=-1) / sigma
+    huber = jnp.where(ew <= opts.huber_reproj, 1.0,
+                      opts.huber_reproj / jnp.maximum(ew, 1e-12))
+    wgt = jnp.where(valid, huber / (sigma * sigma), 0.0)
+    return e, J_s, J_l, wgt, valid
+
+
+def _imu_terms(w: Window, opts: BAOptions):
+    """IMU residuals + Jacobians by jacfwd through the retraction.
+
+    Returns (r [S-1,15], J_i [S-1,15,15], J_j [S-1,15,15])."""
+    g = jnp.asarray(opts.gravity)
+
+    def res_one(factor, q_i, p_i, v_i, bg_i, ba_i,
+                q_j, p_j, v_j, bg_j, ba_j, dxi, dxj):
+        def ret(q, p, v, bg, ba, d):
+            return (quat_normalize(quat_multiply(q, so3_exp(d[3:6]))),
+                    p + d[0:3], v + d[6:9], bg + d[9:12], ba + d[12:15])
+        qi, pi, vi, bgi, bai = ret(q_i, p_i, v_i, bg_i, ba_i, dxi)
+        qj, pj, vj, bgj, baj = ret(q_j, p_j, v_j, bg_j, ba_j, dxj)
+        return imu_mod.imu_residual(factor, qi, pi, vi, bgi, bai,
+                                    qj, pj, vj, bgj, baj, g)
+
+    i = jnp.arange(w.S - 1)
+    j = i + 1
+    z = jnp.zeros((w.S - 1, DOF))
+    args = (w.imu, w.q[i], w.p[i], w.v[i], w.bg[i], w.ba[i],
+            w.q[j], w.p[j], w.v[j], w.bg[j], w.ba[j], z, z)
+    r = jax.vmap(res_one)(*args)
+    J_i = jax.vmap(jax.jacfwd(res_one, argnums=11))(*args)
+    J_j = jax.vmap(jax.jacfwd(res_one, argnums=12))(*args)
+    return r, J_i, J_j
+
+
+def build_system(w: Window, T_cam_body: SE3, focal: jax.Array,
+                 opts: BAOptions):
+    """(Hpp [D,D], bp [D], U [L,D,3], Hll [L,3,3], bl [L,3], chi2)."""
+    S, L = w.S, w.L
+    D = S * DOF
+
+    e, J_s, J_l, wgt, rvalid = _reproj_terms(w, T_cam_body, focal, opts)
+    s_idx = jnp.clip(w.obs_state, 0, S - 1)
+    l_idx = jnp.clip(w.obs_lm, 0, L - 1)
+    s_seg = jnp.where(rvalid, s_idx, S)
+    l_seg = jnp.where(rvalid, l_idx, L)
+
+    # per-obs blocks
+    Hss = jnp.einsum("nri,nrj,n->nij", J_s, J_s, wgt)     # [No,15,15]
+    Hsl = jnp.einsum("nri,nrj,n->nij", J_s, J_l, wgt)     # [No,15,3]
+    Hll_o = jnp.einsum("nri,nrj,n->nij", J_l, J_l, wgt)   # [No,3,3]
+    bs_o = -jnp.einsum("nri,nr,n->ni", J_s, e, wgt)       # [No,15]
+    bl_o = -jnp.einsum("nri,nr,n->ni", J_l, e, wgt)       # [No,3]
+
+    Hpp = jnp.zeros((D, D))
+    diag_blocks = jax.ops.segment_sum(Hss, s_seg, num_segments=S + 1)[:S]
+
+    def put_diag(H, k, blk):
+        r0 = k * DOF
+        return jax.lax.dynamic_update_slice(H, blk, (r0, r0))
+
+    Hpp = jax.lax.fori_loop(
+        0, S, lambda k, H: put_diag(H, k, diag_blocks[k]), Hpp)
+
+    bp = jax.ops.segment_sum(bs_o, s_seg, num_segments=S + 1
+                             )[:S].reshape(D)
+    # landmark-state coupling: U[l] is [S·15, 3] with the [15,3] block of
+    # state s at rows s·15.. — reshape concatenates the state blocks in
+    # order, exactly the layout the Schur einsum expects
+    key = jnp.where(rvalid, l_idx * S + s_idx, L * S)
+    U_ls = jax.ops.segment_sum(Hsl, key, num_segments=L * S + 1)[:L * S]
+    U = U_ls.reshape(L, S * DOF, 3)
+    Hll = jax.ops.segment_sum(Hll_o, l_seg, num_segments=L + 1)[:L]
+    bl = jax.ops.segment_sum(bl_o, l_seg, num_segments=L + 1)[:L]
+
+    chi2 = jnp.sum(jnp.sum(e * e, -1) * wgt)
+
+    # ---- IMU factors ---------------------------------------------------
+    r_imu, J_i, J_j = _imu_terms(w, opts)
+    ivalid = (w.imu_valid & w.state_valid[:-1] & w.state_valid[1:])
+    info = w.imu_info * ivalid[:, None, None]
+
+    JtWJ_ii = jnp.einsum("nri,nrc,ncj->nij", J_i, info, J_i)
+    JtWJ_ij = jnp.einsum("nri,nrc,ncj->nij", J_i, info, J_j)
+    JtWJ_jj = jnp.einsum("nri,nrc,ncj->nij", J_j, info, J_j)
+    bW_i = -jnp.einsum("nri,nrc,nc->ni", J_i, info, r_imu)
+    bW_j = -jnp.einsum("nri,nrc,nc->ni", J_j, info, r_imu)
+
+    def add_imu(k, carry):
+        H, b = carry
+        r0 = k * DOF
+        r1 = (k + 1) * DOF
+        H = jax.lax.dynamic_update_slice(
+            H, jax.lax.dynamic_slice(H, (r0, r0), (DOF, DOF)) + JtWJ_ii[k],
+            (r0, r0))
+        H = jax.lax.dynamic_update_slice(
+            H, jax.lax.dynamic_slice(H, (r0, r1), (DOF, DOF)) + JtWJ_ij[k],
+            (r0, r1))
+        H = jax.lax.dynamic_update_slice(
+            H, jax.lax.dynamic_slice(H, (r1, r0), (DOF, DOF))
+            + JtWJ_ij[k].T, (r1, r0))
+        H = jax.lax.dynamic_update_slice(
+            H, jax.lax.dynamic_slice(H, (r1, r1), (DOF, DOF)) + JtWJ_jj[k],
+            (r1, r1))
+        b = jax.lax.dynamic_update_slice(
+            b, jax.lax.dynamic_slice(b, (r0,), (DOF,)) + bW_i[k], (r0,))
+        b = jax.lax.dynamic_update_slice(
+            b, jax.lax.dynamic_slice(b, (r1,), (DOF,)) + bW_j[k], (r1,))
+        return H, b
+
+    Hpp, bp = jax.lax.fori_loop(0, S - 1, add_imu, (Hpp, bp))
+    chi2 = chi2 + jnp.sum(jnp.einsum("nr,nrc,nc->n", r_imu, info, r_imu))
+
+    # ---- marginalization prior ----------------------------------------
+    delta = local_coords(w)
+    Hp = jnp.where(w.has_prior, 1.0, 0.0) * w.H_prior
+    Hpp = Hpp + Hp
+    bp = bp + jnp.where(w.has_prior, 1.0, 0.0) * (w.b_prior - w.H_prior
+                                                  @ delta)
+    chi2 = chi2 + jnp.where(
+        w.has_prior, delta @ w.H_prior @ delta - 2.0 * w.b_prior @ delta,
+        0.0)
+
+    # ---- gauge fixing + invalid-state regularization -------------------
+    sv = jnp.repeat(w.state_valid, DOF)
+    Hpp = Hpp + jnp.diag(jnp.where(sv, 0.0, 1.0))     # dead states pinned
+    if opts.fix_first_pose:
+        gauge = jnp.zeros((D,)).at[:6].set(1e8 * (~w.has_prior))
+        Hpp = Hpp + jnp.diag(gauge)
+    # weak absolute bias priors toward zero (accel-bias↔tilt degeneracy)
+    bias_w = jnp.zeros((S, DOF))
+    bias_w = bias_w.at[:, 9:12].set(1.0 / opts.gyr_bias_prior_sigma ** 2)
+    bias_w = bias_w.at[:, 12:15].set(1.0 / opts.acc_bias_prior_sigma ** 2)
+    bias_w = (bias_w * w.state_valid[:, None]).reshape(D)
+    Hpp = Hpp + jnp.diag(bias_w)
+    x_bias = jnp.concatenate([jnp.zeros((S, 9)), w.bg, w.ba],
+                             axis=-1).reshape(D)
+    bp = bp - bias_w * x_bias
+    chi2 = chi2 + jnp.sum(bias_w * x_bias * x_bias)
+    lm_reg = jnp.where(w.lm_valid, 0.0, 1.0)
+    Hll = Hll + (jnp.eye(3)[None] * (1e-6 + lm_reg[:, None, None]))
+    return Hpp, bp, U, Hll, bl, chi2
+
+
+def solve_schur(Hpp, bp, U, Hll, bl, mu, lm_valid):
+    """Schur complement over landmark blocks + dense state solve."""
+    D = Hpp.shape[0]
+    Hll_d = Hll + mu * jnp.eye(3)[None]
+    Hll_inv = jnp.linalg.inv(Hll_d)
+    Hll_inv = Hll_inv * lm_valid[:, None, None]
+    S_mat = Hpp - jnp.einsum("lia,lab,ljb->ij", U, Hll_inv, U)
+    b_schur = bp - jnp.einsum("lia,lab,lb->i", U, Hll_inv, bl)
+    S_d = S_mat + mu * jnp.diag(jnp.maximum(jnp.diagonal(S_mat), 1.0))
+    dx_p = jnp.linalg.solve(S_d, b_schur)
+    dx_p = jnp.where(jnp.isfinite(dx_p), dx_p, 0.0)
+    dl = jnp.einsum("lab,lb->la", Hll_inv,
+                    bl - jnp.einsum("lia,i->la", U, dx_p))
+    dl = jnp.where(jnp.isfinite(dl), dl, 0.0)
+    return dx_p, dl
+
+
+def optimize(w: Window, T_cam_body: SE3, focal: jax.Array,
+             opts: BAOptions = BAOptions()) -> tuple[Window, jax.Array]:
+    """LM iterations with keep-best (reference: 3 iterations/frame,
+    ceres_backend_interface.hpp:29)."""
+
+    def chi2_of(wx):
+        *_, c2 = build_system(wx, T_cam_body, focal, opts)
+        return c2
+
+    def body(k, carry):
+        wx, mu, best_chi2 = carry
+        Hpp, bp, U, Hll, bl, c2 = build_system(wx, T_cam_body, focal, opts)
+        dx_p, dl = solve_schur(Hpp, bp, U, Hll, bl, mu, wx.lm_valid)
+        cand = retract_states(wx, dx_p)
+        cand = cand._replace(
+            lm_pos=wx.lm_pos + dl * wx.lm_valid[:, None])
+        c2_new = chi2_of(cand)
+        ok = c2_new < best_chi2
+        wx = jax.tree.map(lambda a, b: jnp.where(ok, a, b), cand, wx)
+        best_chi2 = jnp.where(ok, c2_new, best_chi2)
+        mu = jnp.clip(jnp.where(ok, mu * 0.3, mu * 8.0),
+                      opts.mu_floor, 1e6)
+        return wx, mu, best_chi2
+
+    c0 = chi2_of(w)
+    w, _, chi2 = jax.lax.fori_loop(
+        0, opts.max_iter, body, (w, jnp.asarray(opts.mu_init), c0))
+    return w, chi2
+
+
+def marginalize_oldest(w: Window, T_cam_body: SE3, focal: jax.Array,
+                       opts: BAOptions = BAOptions()) -> Window:
+    """Slide the window: absorb state 0 into the dense prior, shift states
+    down (reference: applyMarginalizationStrategy estimator.cpp:632 +
+    MarginalizationError dense H/b maintenance marginalization_error.hpp:
+    67-329). v1 strategy: the IMU factor 0→1 and the existing prior are
+    linearized and state 0 is Schur-complemented out; reprojection factors
+    of state 0 are dropped (their landmarks usually have other anchors)."""
+    S = w.S
+    D = S * DOF
+
+    # H,b of factors touching state 0 at the current estimate
+    r_imu, J_i, J_j = _imu_terms(w, opts)
+    info0 = w.imu_info[0] * jnp.where(w.imu_valid[0], 1.0, 0.0)
+    H01 = jnp.zeros((D, D))
+    b01 = jnp.zeros((D,))
+    Ji, Jj = J_i[0], J_j[0]
+    H01 = H01.at[0:DOF, 0:DOF].add(Ji.T @ info0 @ Ji)
+    H01 = H01.at[0:DOF, DOF:2 * DOF].add(Ji.T @ info0 @ Jj)
+    H01 = H01.at[DOF:2 * DOF, 0:DOF].add(Jj.T @ info0 @ Ji)
+    H01 = H01.at[DOF:2 * DOF, DOF:2 * DOF].add(Jj.T @ info0 @ Jj)
+    b01 = b01.at[0:DOF].add(-Ji.T @ info0 @ r_imu[0])
+    b01 = b01.at[DOF:2 * DOF].add(-Jj.T @ info0 @ r_imu[0])
+
+    delta = local_coords(w)
+    Hp = jnp.where(w.has_prior, 1.0, 0.0) * w.H_prior
+    bp_lin = jnp.where(w.has_prior, 1.0, 0.0) * (w.b_prior - w.H_prior
+                                                 @ delta)
+    H_tot = H01 + Hp
+    b_tot = b01 + bp_lin
+    # keep the old gauge information on state 0's pose
+    gauge = jnp.zeros((D,)).at[:6].set(jnp.where(w.has_prior, 0.0, 1e6))
+    H_tot = H_tot + jnp.diag(gauge)
+
+    # Schur-complement out block 0
+    H00 = H_tot[0:DOF, 0:DOF] + jnp.eye(DOF) * 1e-8
+    H0k = H_tot[0:DOF, DOF:]
+    Hk0 = H_tot[DOF:, 0:DOF]
+    Hkk = H_tot[DOF:, DOF:]
+    H00_inv = jnp.linalg.inv(H00)
+    H_marg = Hkk - Hk0 @ H00_inv @ H0k
+    b_marg = b_tot[DOF:] - Hk0 @ H00_inv @ b_tot[0:DOF]
+    # symmetrize + clean small negative eigenvalues (reference eigendecomp
+    # cleanup marginalization_error.hpp:329)
+    H_marg = 0.5 * (H_marg + H_marg.T)
+
+    # shift into a [D,D] prior on the shifted states (last slot fresh)
+    H_new = jnp.zeros((D, D)).at[:D - DOF, :D - DOF].set(H_marg)
+    b_new = jnp.zeros((D,)).at[:D - DOF].set(b_marg)
+
+    def shift(x):
+        return jnp.concatenate([x[1:], x[-1:]], axis=0)
+
+    imu_shift = jax.tree.map(lambda x: shift(x), w.imu)
+    return w._replace(
+        q=shift(w.q), p=shift(w.p), v=shift(w.v), bg=shift(w.bg),
+        ba=shift(w.ba),
+        state_valid=jnp.concatenate([w.state_valid[1:],
+                                     jnp.zeros((1,), bool)]),
+        obs_state=w.obs_state - 1,
+        obs_valid=w.obs_valid & (w.obs_state >= 1),
+        imu=imu_shift,
+        imu_info=shift(w.imu_info),
+        imu_valid=jnp.concatenate([w.imu_valid[1:],
+                                   jnp.zeros((1,), bool)]),
+        H_prior=H_new, b_prior=b_new,
+        q0=shift(w.q), p0=shift(w.p), v0=shift(w.v),
+        bg0=shift(w.bg), ba0=shift(w.ba),
+        has_prior=jnp.asarray(True),
+    )

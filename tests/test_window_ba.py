@@ -1,0 +1,206 @@
+"""Sliding-window VI-BA tests: zero residual at truth, recovery from
+perturbation, marginalization slide (strategy of the reference's
+test_imu_error.cpp:66 / test_estimator.cpp:50)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from svo_pro_universal_tpu.backend import imu_factor as imf
+from svo_pro_universal_tpu.backend import window_ba as wba
+from svo_pro_universal_tpu.frontend.imu_handler import ImuWindow
+from svo_pro_universal_tpu.utils.transform import (
+    SE3, quat_multiply, quat_normalize, quat_rotate, quat_conjugate,
+    so3_exp, so3_log)
+
+G = np.array([0.0, 0.0, -9.81])
+RATE = 200.0
+
+
+def simulate_vi(n_states=5, state_dt=0.2, seed=1):
+    """Ground-truth states + exact IMU streams between them."""
+    rng = np.random.default_rng(seed)
+    omega = lambda t: np.array([0.3 * np.sin(t), 0.2, -0.25 * np.cos(t)])  # noqa
+    acc_w = lambda t: np.array([0.6 * np.cos(t), -0.4, 0.3 * np.sin(2 * t)])  # noqa
+
+    dt = 1.0 / RATE
+    n_total = int(n_states * state_dt * RATE) + 1
+    q = jnp.array([1.0, 0, 0, 0])
+    v = jnp.zeros(3)
+    p = jnp.zeros(3)
+    qs, vs, ps, ts = [q], [v], [p], [0.0]
+    gyr, acc = [], []
+    for i in range(n_total):
+        t = i * dt
+        w = omega(t)
+        a_w = acc_w(t)
+        # measured specific force in body frame
+        a_b = quat_rotate(quat_conjugate(q), jnp.asarray(a_w - G))
+        gyr.append(w)
+        acc.append(np.asarray(a_b))
+        # integrate (fine substeps for accuracy)
+        for _ in range(4):
+            sdt = dt / 4
+            p = p + v * sdt + 0.5 * jnp.asarray(a_w) * sdt * sdt
+            v = v + jnp.asarray(a_w) * sdt
+            q = quat_normalize(quat_multiply(q, so3_exp(jnp.asarray(w * sdt))))
+        qs.append(q)
+        vs.append(v)
+        ps.append(p)
+        ts.append((i + 1) * dt)
+
+    per = int(state_dt * RATE)
+    idx = [k * per for k in range(n_states)]
+    states = dict(
+        q=jnp.stack([qs[i] for i in idx]),
+        p=jnp.stack([ps[i] for i in idx]),
+        v=jnp.stack([vs[i] for i in idx]),
+        t=[ts[i] for i in idx])
+    segs = []
+    for k in range(n_states - 1):
+        lo, hi = idx[k], idx[k + 1]
+        seg_t = np.asarray(ts[lo:hi + 1], np.float32)
+        segs.append(ImuWindow(
+            jnp.asarray(seg_t - seg_t[0]),
+            jnp.asarray(np.stack(gyr[lo:hi + 1]), jnp.float32),
+            jnp.asarray(np.stack(acc[lo:hi + 1]), jnp.float32),
+            jnp.ones((hi - lo + 1,), bool)))
+    return states, segs
+
+
+def test_imu_residual_zero_at_truth():
+    states, segs = simulate_vi()
+    for k, seg in enumerate(segs):
+        f = imf.preintegrate_with_cov(seg, jnp.zeros(3), jnp.zeros(3),
+                                      1e-3, 1e-2)
+        r = imf.imu_residual(
+            f, states["q"][k], states["p"][k], states["v"][k],
+            jnp.zeros(3), jnp.zeros(3),
+            states["q"][k + 1], states["p"][k + 1], states["v"][k + 1],
+            jnp.zeros(3), jnp.zeros(3))
+        r = np.asarray(r)
+        assert np.abs(r[:3]).max() < 2e-3, r[:3]     # rotation
+        assert np.abs(r[3:6]).max() < 8e-3, r[3:6]   # velocity
+        assert np.abs(r[6:9]).max() < 4e-3, r[6:9]   # position
+
+
+def test_imu_bias_jacobian_first_order():
+    states, segs = simulate_vi(n_states=2)
+    f = imf.preintegrate_with_cov(segs[0], jnp.zeros(3), jnp.zeros(3),
+                                  1e-3, 1e-2)
+    db = jnp.array([0.02, -0.01, 0.015])
+    # re-preintegrate with biased gyro should ≈ bias-Jacobian correction
+    f2 = imf.preintegrate_with_cov(segs[0], db, jnp.zeros(3), 1e-3, 1e-2)
+    dq_pred = quat_multiply(f.delta_q, so3_exp(f.J_q_bg @ (0.0 - db) * -1.0))
+    # J_q_bg maps δbg = (bg_new − bg_lin): here bg_new = db
+    dq_pred = quat_multiply(f.delta_q, so3_exp(f.J_q_bg @ db))
+    err = so3_log(quat_multiply(quat_conjugate(f2.delta_q), dq_pred))
+    assert np.linalg.norm(np.asarray(err)) < 5e-4
+    dv_pred = f.delta_v + f.J_v_bg @ db
+    assert np.abs(np.asarray(f2.delta_v - dv_pred)).max() < 2e-3
+
+
+def _make_window(states, segs, n_landmarks=40, obs_noise=0.0, seed=3):
+    rng = np.random.default_rng(seed)
+    S = states["q"].shape[0]
+    L, No = 64, 512
+    w = wba.make_window(S, L, No)
+    w = w._replace(
+        q=states["q"], p=states["p"], v=states["v"],
+        state_valid=jnp.ones((S,), bool))
+    # landmarks in front of the trajectory
+    lm = rng.uniform([-2, -2, 1.5], [2, 2, 6], (n_landmarks, 3)) \
+        .astype(np.float32)
+    w = w._replace(
+        lm_pos=w.lm_pos.at[:n_landmarks].set(jnp.asarray(lm)),
+        lm_valid=w.lm_valid.at[:n_landmarks].set(True))
+    # observations: each landmark from every state
+    obs_s, obs_l, obs_f = [], [], []
+    for s in range(S):
+        q_s, p_s = states["q"][s], states["p"][s]
+        for l in range(n_landmarks):
+            pb = quat_rotate(quat_conjugate(q_s), jnp.asarray(lm[l]) - p_s)
+            if float(pb[2]) < 0.3:
+                continue
+            f = pb / jnp.linalg.norm(pb)
+            if obs_noise > 0:
+                f = f + jnp.asarray(rng.normal(0, obs_noise, 3)
+                                    .astype(np.float32))
+                f = f / jnp.linalg.norm(f)
+            obs_s.append(s)
+            obs_l.append(l)
+            obs_f.append(np.asarray(f))
+    n = len(obs_s)
+    w = w._replace(
+        obs_state=w.obs_state.at[:n].set(jnp.asarray(obs_s, jnp.int32)),
+        obs_lm=w.obs_lm.at[:n].set(jnp.asarray(obs_l, jnp.int32)),
+        obs_f=w.obs_f.at[:n].set(jnp.asarray(np.stack(obs_f))),
+        obs_valid=w.obs_valid.at[:n].set(True))
+    # imu factors
+    factors = [imf.preintegrate_with_cov(seg, jnp.zeros(3), jnp.zeros(3),
+                                         1e-3, 1e-2) for seg in segs]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *factors)
+    infos = jnp.stack([imf.imu_information(f, 1e-4, 1e-3) for f in factors])
+    w = w._replace(imu=stacked, imu_info=infos,
+                   imu_valid=jnp.ones((S - 1,), bool))
+    return w
+
+
+def test_window_ba_zero_chi2_at_truth():
+    states, segs = simulate_vi()
+    w = _make_window(states, segs)
+    _, _, _, _, _, chi2 = wba.build_system(
+        w, SE3.identity(), jnp.asarray(300.0), wba.BAOptions())
+    assert float(chi2) < 2.0, float(chi2)   # only integration error
+
+
+def test_window_ba_recovers_perturbed_states():
+    states, segs = simulate_vi()
+    w = _make_window(states, segs, obs_noise=5e-4)
+    rng = np.random.default_rng(0)
+    S = w.S
+    # perturb all states except the first (gauge) + landmarks
+    dq = [jnp.array([1.0, 0, 0, 0])]
+    for _ in range(S - 1):
+        dq.append(so3_exp(jnp.asarray(
+            rng.normal(0, 0.02, 3).astype(np.float32))))
+    q_pert = quat_normalize(quat_multiply(w.q, jnp.stack(dq)))
+    dp = jnp.asarray(np.concatenate(
+        [np.zeros((1, 3)), rng.normal(0, 0.05, (S - 1, 3))]).astype(np.float32))
+    dv = jnp.asarray(rng.normal(0, 0.1, (S, 3)).astype(np.float32))
+    dl = jnp.asarray(rng.normal(0, 0.05, w.lm_pos.shape).astype(np.float32))
+    w_pert = w._replace(q=q_pert, p=w.p + dp, v=w.v + dv,
+                        lm_pos=w.lm_pos + dl * w.lm_valid[:, None])
+
+    opts = wba.BAOptions(max_iter=8)
+    w_opt, chi2 = jax.jit(
+        lambda x: wba.optimize(x, SE3.identity(), jnp.asarray(300.0), opts)
+    )(w_pert)
+
+    p_err0 = np.abs(np.asarray(w_pert.p - w.p)).max()
+    p_err = np.abs(np.asarray(w_opt.p - w.p)).max()
+    assert p_err < 0.1 * p_err0, (p_err0, p_err)
+    v_err = np.abs(np.asarray(w_opt.v - w.v)).max()
+    assert v_err < 0.05, v_err
+    ang = [float(jnp.linalg.norm(so3_log(quat_multiply(
+        quat_conjugate(w_opt.q[s]), w.q[s])))) for s in range(S)]
+    assert max(ang) < 5e-3, ang
+
+
+def test_marginalization_slides_and_keeps_consistency():
+    states, segs = simulate_vi()
+    w = _make_window(states, segs, obs_noise=5e-4)
+    opts = wba.BAOptions(max_iter=4)
+    cam = SE3.identity()
+    focal = jnp.asarray(300.0)
+    w1, _ = wba.optimize(w, cam, focal, opts)
+    w2 = wba.marginalize_oldest(w1, cam, focal, opts)
+    assert bool(w2.has_prior)
+    # shifted states must equal the pre-slide states 1..S-1
+    np.testing.assert_allclose(np.asarray(w2.p[:-1]),
+                               np.asarray(w1.p[1:]), atol=1e-6)
+    # prior holds the gauge: optimizing again must not blow up
+    w3, chi2 = wba.optimize(w2, cam, focal, opts)
+    drift = np.abs(np.asarray(w3.p[:-1] - w1.p[1:])).max()
+    assert drift < 0.05, drift
