@@ -136,8 +136,11 @@ class FrameHandlerMono:
         self._jit_keyframe = jax.jit(self._keyframe_step)
         self._jit_detect = jax.jit(self._detect_into_frame)
         self._jit_klt = jax.jit(self._klt_track)
+        self._jit_frame = jax.jit(self._frame_program)
 
         self.stats = {}
+        self._depth_state = jnp.asarray(
+            [self.depth_median, self.depth_min], jnp.float32)
 
     # ------------------------------------------------------------------
     # jitted stage programs
@@ -455,6 +458,74 @@ class FrameHandlerMono:
         # self-reference: a keyframe's seeds live in its own slots
         return frame, jnp.sum(can_place.astype(jnp.int32))
 
+    # order of the scalar stats vector returned by _frame_program
+    STATS_KEYS = (
+        "n_tracked", "n_total", "align_chi2", "align_fts",
+        "reproj_matches", "reproj_trials", "pose_err_before",
+        "pose_err_after", "n_inliers", "seeds_updated", "seeds_converged",
+        "depth_median", "depth_min", "med_disparity", "kf_too_close",
+        "is_kf", "kf_upgraded", "kf_new_seeds")
+
+    def _frame_program(self, ring, pool, last_frame, img, timestamp,
+                       T_prior_rel, depth_scalars, frames_since_kf, key):
+        """ONE device program per tracked frame: pyramid → tracking step →
+        on-device keyframe decision → conditional keyframe step. The host
+        reads back a single stats vector + the pose — the dispatch-latency
+        answer to the reference's multi-stage per-frame call tree."""
+        pyr = build_pyramid(image_to_float(img), self.n_levels)
+        cur = make_empty_frame(pyr, self.max_fts,
+                               T_cam_body=self.T_cam_body,
+                               timestamp=timestamp)
+        ring, pool, frame, stats = self._tracking_step(
+            ring, pool, last_frame, cur, T_prior_rel, depth_scalars)
+
+        # --- keyframe decision on device (reference needNewKf gates) ----
+        cfgb = self.cfg.base
+        n_tracked = stats["n_tracked"]
+        med_disp = stats["med_disparity"]
+        is_kf = jnp.asarray(True)
+        is_kf &= n_tracked <= cfgb.kfselect_numkfs_upper_thresh
+        is_kf &= frames_since_kf >= cfgb.kfselect_min_num_frames_between_kfs
+        need_more = n_tracked < cfgb.kfselect_numkfs_lower_thresh
+        gates = jnp.asarray(True)
+        if cfgb.kfselect_min_disparity > 0:
+            gates &= ~(jnp.isfinite(med_disp)
+                       & (med_disp < cfgb.kfselect_min_disparity))
+        gates &= ~stats["kf_too_close"]
+        is_kf &= (need_more | gates)
+        # no keyframes while tracking quality is insufficient
+        quality_ok = n_tracked >= cfgb.quality_min_fts
+        is_kf &= quality_ok
+
+        def kf_branch(args):
+            ring_, pool_, frame_ = args
+            return self._keyframe_step(ring_, pool_, frame_, key,
+                                       depth_scalars)
+
+        def no_branch(args):
+            ring_, pool_, frame_ = args
+            return (ring_, pool_, frame_, jnp.asarray(0, jnp.int32),
+                    jnp.asarray(0, jnp.int32))
+
+        ring, pool, frame, n_up, n_new = jax.lax.cond(
+            is_kf, kf_branch, no_branch, (ring, pool, frame))
+
+        T_rel = frame.T_cam_world.compose(last_frame.T_cam_world.inverse())
+        dm, dmin = stats["depth_median"], stats["depth_min"]
+        dm_ok = jnp.isfinite(dm) & (dm > 1e-3) & (dm < 1e6)
+        new_depth = jnp.where(
+            dm_ok, jnp.stack([dm, jnp.maximum(0.5 * dmin, 1e-3)]),
+            depth_scalars)
+
+        stats = dict(stats)
+        stats["is_kf"] = is_kf
+        stats["kf_upgraded"] = n_up
+        stats["kf_new_seeds"] = n_new
+        stats_vec = jnp.stack([
+            jnp.asarray(stats[k], jnp.float32) for k in self.STATS_KEYS])
+        pose = frame.T_world_cam.as_matrix()
+        return ring, pool, frame, T_rel, new_depth, stats_vec, pose
+
     def _klt_track(self, ref_frame, cur_pyramid, px_ref, valid):
         """Pyramidal KLT with a bidirectional consistency check: a track
         must map back to its ref position within 1px (kills occlusion and
@@ -487,14 +558,14 @@ class FrameHandlerMono:
         return frame
 
     def add_image(self, img, timestamp: float) -> FrameResult:
-        frame = self._make_frame(img, timestamp)
         self.frame_count += 1
+        if self.stage == Stage.TRACKING:
+            return self._process_tracking(img, timestamp)
+        frame = self._make_frame(img, timestamp)
         if self.stage == Stage.FIRST_FRAME:
             out = self._process_first_frame(frame)
         elif self.stage == Stage.INITIALIZING:
             out = self._process_init(frame)
-        elif self.stage == Stage.TRACKING:
-            out = self._process_tracking(frame)
         else:
             out = self._process_reloc(frame)
         return out
@@ -599,48 +670,38 @@ class FrameHandlerMono:
         self.frames_since_kf = 0
         self.stage = Stage.TRACKING
 
-    def _process_tracking(self, frame: FrameState) -> FrameResult:
-        cfg = self.cfg
-        T_prior_rel = self.T_rel_prev    # constant velocity (cam frame)
-        ring, pool, tracked, stats = self._jit_tracking(
-            self.ring, self.pool, self.last_frame, frame, T_prior_rel,
-            self._depth_scalars())
-        self.ring, self.pool = ring, pool
-        self.stats = {k: np.asarray(v) for k, v in stats.items()}
-
+    def _process_tracking(self, img, timestamp: float) -> FrameResult:
+        """One device program + one stats read-back per frame."""
+        out = self._jit_frame(
+            self.ring, self.pool, self.last_frame, jnp.asarray(img),
+            jnp.float32(timestamp), self.T_rel_prev, self._depth_state,
+            jnp.int32(self.frames_since_kf), self.rng_key)
+        ring, pool, frame, T_rel, depth_state, stats_vec, pose = out
+        sv = np.asarray(stats_vec)                    # single transfer
+        stats = dict(zip(self.STATS_KEYS, sv.tolist()))
+        self.stats = stats
         n_tracked = int(stats["n_tracked"])
-        n_total = int(stats["n_total"])
+        is_kf = bool(stats["is_kf"])
+
         quality = self._check_quality(n_tracked)
         if quality == TrackingQuality.INSUFFICIENT:
+            # keep the last good frame as relocalization anchor
+            self.ring, self.pool = ring, pool
             self.stage = Stage.RELOCALIZING
             self.reloc_trials = 0
-            # keep last good frame as relocalization anchor
-            return self._result(tracked, n_tracked, quality)
+            return FrameResult(np.asarray(pose), self.stage, n_tracked,
+                               quality, False)
 
-        # motion model update
-        T_rel = tracked.T_cam_world.compose(
-            self.last_frame.T_cam_world.inverse())
+        self.ring, self.pool, self.last_frame = ring, pool, frame
         self.T_rel_prev = T_rel
-        self.frames_since_kf += 1
-        dm = float(stats["depth_median"])
-        if np.isfinite(dm) and 1e-3 < dm < 1e6:
-            self.depth_median = dm
-            # new seeds span down to half the closest scene depth
-            # (reference: frame_handler_mono.cpp addKeyframe 0.5*depth_min)
-            self.depth_min = max(0.5 * float(stats["depth_min"]), 1e-3)
-
-        is_kf = self._need_new_kf(n_tracked)
-        if is_kf:
-            self.rng_key, k = jax.random.split(self.rng_key)
-            ring, pool, tracked, n_up, n_new = self._jit_keyframe(
-                self.ring, self.pool, tracked, k, self._depth_scalars())
-            self.ring, self.pool = ring, pool
-            self.stats["kf_upgraded"] = int(n_up)
-            self.stats["kf_new_seeds"] = int(n_new)
-            self.frames_since_kf = 0
-
-        self.last_frame = tracked
-        return self._result(tracked, n_tracked, quality, is_kf)
+        self._depth_state = depth_state
+        self.depth_median = float(stats["depth_median"]) \
+            if 1e-3 < stats["depth_median"] < 1e6 else self.depth_median
+        self.depth_min = max(0.5 * float(stats["depth_min"]), 1e-3) \
+            if 1e-3 < stats["depth_min"] < 1e6 else self.depth_min
+        self.frames_since_kf = 0 if is_kf else self.frames_since_kf + 1
+        return FrameResult(np.asarray(pose), self.stage, n_tracked,
+                           quality, is_kf)
 
     def _check_quality(self, n_tracked: int) -> TrackingQuality:
         """reference: setTrackingQuality frame_handler_base.cpp:991-1009."""
@@ -652,26 +713,6 @@ class FrameHandlerMono:
         if prev - n_tracked > self.cfg.base.quality_max_fts_drop:
             return TrackingQuality.BAD
         return TrackingQuality.GOOD
-
-    def _need_new_kf(self, n_tracked: int) -> bool:
-        """FORWARD keyframe criterion, exactly the reference's gate order
-        (reference: needNewKf frame_handler_base.cpp:1030-1121). The signals
-        (co-observed disparity, KF proximity) come from the tracking step."""
-        cfg = self.cfg.base
-        if n_tracked > cfg.kfselect_numkfs_upper_thresh:
-            return False
-        if self.frames_since_kf < cfg.kfselect_min_num_frames_between_kfs:
-            return False
-        if n_tracked < cfg.kfselect_numkfs_lower_thresh:
-            return True
-        if cfg.kfselect_min_disparity > 0:
-            med_disp = float(self.stats.get("med_disparity", np.inf))
-            if np.isfinite(med_disp) and \
-                    med_disp < cfg.kfselect_min_disparity:
-                return False
-        if bool(self.stats.get("kf_too_close", False)):
-            return False
-        return True
 
     def _process_reloc(self, frame: FrameState) -> FrameResult:
         """Relocalize against the closest keyframe by re-running tracking
@@ -782,8 +823,8 @@ class FrameHandlerStereo(FrameHandlerMono):
         # stereo never needs the monocular two-view bootstrap
         return self._process_first_frame(frame)
 
-    def _process_tracking(self, frame: FrameState) -> FrameResult:
-        res = super()._process_tracking(frame)
+    def _process_tracking(self, img, timestamp: float) -> FrameResult:
+        res = super()._process_tracking(img, timestamp)
         if res.is_keyframe:
             self.ring, self.pool, self.last_frame, n_lm = \
                 self._jit_stereo_lm(self.ring, self.pool, self.last_frame,
