@@ -92,7 +92,7 @@ def main():
                        0.002 * np.sin(t * 0.2), 0.0003 * t, 0.001 * t],
                       np.float32)
         poses.append(se3_exp(jnp.asarray(tw)))
-    frames = [np.asarray(render_j(p)) for p in poses]
+    frames = [np.asarray(render_j(p)).astype(np.uint8) for p in poses]
 
     handler = FrameHandlerMono(cfg, cam)
     times = []

@@ -29,8 +29,9 @@ class CapacityOptions:
     max_points: int = 4096       # landmark pool size
     max_obs_per_point: int = 16  # observation slots per landmark
     grid_cells: int = 1024       # occupancy grid cell capacity
-    epi_samples: int = 64        # fixed epipolar-scan budget per seed
+    epi_samples: int = 32        # fixed epipolar-scan budget per seed
     pyramid_levels: int = 5      # allocated pyramid levels (>= n_pyr_levels)
+    max_seed_updates: int = 768  # seeds updated per frame (compacted)
 
 
 @dataclass

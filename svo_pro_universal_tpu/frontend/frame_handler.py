@@ -257,24 +257,37 @@ class FrameHandlerMono:
         pool = pool._replace(pos=new_pos)
 
         # ---- 5. depth-filter update of ring seeds ---------------------
+        # COMPACTED: gathers on TPU read whole tiles, so the epipolar scan
+        # must only run for live seeds, not all K·F padded slots. The most
+        # uncertain seeds go first (fastest convergence per byte).
         K, F = ring.capacity, self.max_fts
         NC = K * F
+        MS = min(self.cfg.capacity.max_seed_updates, NC)
 
         def rflat(x):
             return x.reshape((NC,) + x.shape[2:])
 
         kf_idx = jnp.repeat(jnp.arange(K, dtype=jnp.int32), F)
-        T_kf_world = jax.tree.map(lambda x: x[kf_idx],
-                                  ring.frames.T_cam_world)
-        T_cur_kf = T_cur_world.compose(T_kf_world.inverse())
         # only SELF-ANCHORED seeds (seed_ref_kf < 0) own a live seed state;
         # reprojected seed observations carry a reference, not a state
         owned = rflat(ring.frames.seed_ref_kf) < 0
-        seed_valid = (ov & ring.valid)[kf_idx] & owned
+        r_ftype = rflat(ring.frames.ftype)
+        r_seed = rflat(ring.frames.seed_state)
+        active = ((ov & ring.valid)[kf_idx] & owned
+                  & ft.is_unconverged_seed(r_ftype))
+        score = jnp.where(active, 1.0 + jnp.clip(r_seed[:, 1], 0.0, 1e3),
+                          -jnp.inf)
+        _, sidx = jax.lax.top_k(score, MS)
+        s_ok = active[sidx]
+
+        kf_s = kf_idx[sidx]
+        T_kf_world = jax.tree.map(lambda x: x[kf_s],
+                                  ring.frames.T_cam_world)
+        T_cur_kf = T_cur_world.compose(T_kf_world.inverse())
 
         def ring_bil(level, uv):
             kf_b = jnp.broadcast_to(
-                kf_idx.reshape(kf_idx.shape + (1,) * (uv.ndim - 2)),
+                kf_s.reshape(kf_s.shape + (1,) * (uv.ndim - 2)),
                 uv.shape[:-1])
             return ring_pyr.bilinear(kf_b, level, uv)
 
@@ -282,19 +295,21 @@ class FrameHandlerMono:
         mu_range = 1.0 / depth_scalars[1]
         upd = df_mod.update_seeds(
             ring_bil, cur_bil, cur_nn, cam, cam, T_cur_kf,
-            rflat(ring.frames.px), rflat(ring.frames.f),
-            rflat(ring.frames.grad), rflat(ring.frames.level),
-            jnp.where(seed_valid, rflat(ring.frames.ftype),
+            rflat(ring.frames.px)[sidx], rflat(ring.frames.f)[sidx],
+            rflat(ring.frames.grad)[sidx], rflat(ring.frames.level)[sidx],
+            jnp.where(s_ok, r_ftype[sidx],
                       jnp.int32(ft.FeatureType.INVALID)),
-            rflat(ring.frames.seed_state), mu_range,
+            r_seed[sidx], mu_range,
             max_search_level=cfg.depth_filter.max_search_level,
             sigma2_convergence_threshold=(
-                cfg.depth_filter.seed_convergence_sigma2_thresh))
-        new_seed_state = jnp.where(
-            seed_valid[:, None], upd.seed_state,
-            rflat(ring.frames.seed_state)).reshape(K, F, 4)
-        new_ftype = jnp.where(seed_valid, upd.ftype,
-                              rflat(ring.frames.ftype)).reshape(K, F)
+                cfg.depth_filter.seed_convergence_sigma2_thresh),
+            matcher_opts=matcher_mod.MatcherOptions(
+                max_epi_search_steps=self.cfg.capacity.epi_samples))
+        widx = jnp.where(s_ok, sidx, NC)
+        new_seed_state = r_seed.at[widx].set(
+            upd.seed_state, mode="drop").reshape(K, F, 4)
+        new_ftype = r_ftype.at[widx].set(
+            upd.ftype, mode="drop").reshape(K, F)
         ring = ring._replace(frames=ring.frames._replace(
             seed_state=new_seed_state, ftype=new_ftype))
 

@@ -37,6 +37,7 @@ class ReprojectorOptions(NamedTuple):
     seed_sigma2_thresh: float = 200.0
     affine_est_offset: bool = True
     affine_est_gain: bool = False
+    max_candidates: int = 384     # compaction bound before patch matching
 
 
 class ReprojectResult(NamedTuple):
@@ -155,12 +156,22 @@ def reproject(
         jnp.where(win_idx >= 0, win_idx, NC)].set(True, mode="drop")
     cand = cand & chosen
 
-    # ---- 3. batched direct matching ------------------------------------
-    T_cur_kf = T_cur_world.compose(T_world_kf)       # [NC]-batched
-    depth_ref = jnp.linalg.norm(xyz_w - T_world_kf.t, axis=-1)
+    # ---- 3. COMPACT candidates, then batched direct matching -----------
+    # gathers on TPU read whole tiles: matching all K·F padded rows would
+    # stream ~100GB/frame of dead tiles. Select the winning rows first.
+    MC = min(opts.max_candidates, NC)
+    comp_key = jnp.where(cand, key, -jnp.inf)
+    ck, cidx = jax.lax.top_k(comp_key, MC)
+    c_ok = jnp.isfinite(ck)
+
+    kf_c = kf_idx[cidx]
+    T_world_kf_c = jax.tree.map(lambda x: x[cidx], T_world_kf)
+    T_cur_kf = T_cur_world.compose(T_world_kf_c)     # [MC]-batched
+    xyz_c = xyz_w[cidx]
+    depth_ref = jnp.linalg.norm(xyz_c - T_world_kf_c.t, axis=-1)
 
     def ref_bilinear(level, uv):
-        kf_b = jnp.broadcast_to(kf_idx.reshape(kf_idx.shape + (1,) * (
+        kf_b = jnp.broadcast_to(kf_c.reshape(kf_c.shape + (1,) * (
             uv.ndim - 2)), uv.shape[:-1])
         return ring_pyr.bilinear(kf_b, level, uv)
 
@@ -169,31 +180,34 @@ def reproject(
         affine_est_gain=opts.affine_est_gain)
     match = matcher_mod.find_matches_direct(
         ref_bilinear, cur_bilinear, cam, cam, T_cur_kf,
-        c_px, c_f, depth_ref, c_grad, ft.is_edgelet(c_type), c_level,
-        px_init, cand, max_search_level, mopts)
-    matched = cand & match.success
+        c_px[cidx], c_f[cidx], depth_ref, c_grad[cidx],
+        ft.is_edgelet(c_type[cidx]), c_level[cidx],
+        px_init[cidx], c_ok, max_search_level, mopts)
+    matched = c_ok & match.success
 
     # ---- 4. compact to MAX_FTS slots ------------------------------------
     M = opts.max_n_features_per_frame
-    sel_key = jnp.where(matched, key, -jnp.inf)
-    top_key, top_idx = jax.lax.top_k(sel_key, min(M, NC))
+    sel_key = jnp.where(matched, ck, -jnp.inf)
+    top_key, top_i = jax.lax.top_k(sel_key, min(M, MC))
     sel_ok = jnp.isfinite(top_key)
 
-    out_type = c_type[top_idx]
+    out_type = c_type[cidx][top_i]
+    has_lm_c = has_lm[cidx]
     # re-observed features: propagate type; converged seeds observed here
     # stay seeds until upgraded at the next keyframe
     f_new = proj.backproject(cam, match.px_cur)
     res = ReprojectResult(
-        px=match.px_cur[top_idx],
-        f=f_new[top_idx],
-        grad=c_grad[top_idx],
-        level=match.search_level[top_idx],
+        px=match.px_cur[top_i],
+        f=f_new[top_i],
+        grad=c_grad[cidx][top_i],
+        level=match.search_level[top_i],
         ftype=jnp.where(sel_ok, out_type, jnp.int32(ft.FeatureType.INVALID)),
-        landmark_id=jnp.where(sel_ok, c_lid[top_idx], -1),
-        seed_ref_kf=jnp.where(sel_ok & ~has_lm[top_idx], kf_idx[top_idx], -1),
-        seed_ref_idx=jnp.where(sel_ok & ~has_lm[top_idx], ft_idx[top_idx],
-                               -1),
-        xyz_world=xyz_w[top_idx],
+        landmark_id=jnp.where(sel_ok, c_lid[cidx][top_i], -1),
+        seed_ref_kf=jnp.where(sel_ok & ~has_lm_c[top_i],
+                              kf_c[top_i], -1),
+        seed_ref_idx=jnp.where(sel_ok & ~has_lm_c[top_i],
+                               ft_idx[cidx][top_i], -1),
+        xyz_world=xyz_c[top_i],
         valid=sel_ok,
         n_matches=jnp.sum(matched.astype(jnp.int32)),
         n_trials=jnp.sum(cand.astype(jnp.int32)),
