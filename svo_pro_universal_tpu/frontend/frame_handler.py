@@ -100,12 +100,19 @@ class FrameHandlerMono:
     (reference: svo_factory.h:83-129)."""
 
     def __init__(self, cfg: Config, cam: proj.Camera,
-                 T_cam_body: Optional[SE3] = None, seed: int = 0):
+                 T_cam_body: Optional[SE3] = None, seed: int = 0,
+                 imu_handler=None):
         self.cfg = cfg
         self.cam = cam
         self.T_cam_body = T_cam_body or SE3.identity()
         self.stage = Stage.FIRST_FRAME
         self.rng_key = jax.random.PRNGKey(seed)
+        # optional IMU (reference: FrameHandlerBase + ImuHandler wiring,
+        # svo_factory.cpp:359-387 _set_imu_prior)
+        self.imu = imu_handler
+        self._R_cam_body_np = np.asarray(
+            jax.device_get((self.T_cam_body.rotation_matrix())))
+        self._last_ts: Optional[float] = None
 
         cap = cfg.capacity
         self.n_levels = max(cfg.n_pyr_levels, cfg.img_align.max_level + 1)
@@ -572,10 +579,28 @@ class FrameHandlerMono:
                                  timestamp=timestamp)
         return frame
 
+    def add_imu_measurement(self, t: float, gyro, acc) -> None:
+        """reference: Odometry::addImuMeasurement svo_factory.cpp:401-414."""
+        if self.imu is not None:
+            self.imu.add_measurement(t, gyro, acc)
+
+    def _motion_prior(self, timestamp: float) -> SE3:
+        """Constant-velocity translation + (if IMU) gyro rotation prior
+        (reference: getMotionPrior frame_handler_base.cpp:313-360)."""
+        if self.imu is None or self._last_ts is None:
+            return self.T_rel_prev
+        R = self.imu.relative_rotation_prior_np(
+            self._last_ts, timestamp, self._R_cam_body_np)
+        from svo_pro_universal_tpu.utils.transform import matrix_to_quat
+        q = matrix_to_quat(jnp.asarray(R, jnp.float32))
+        return SE3(q, self.T_rel_prev.t)
+
     def add_image(self, img, timestamp: float) -> FrameResult:
         self.frame_count += 1
         if self.stage == Stage.TRACKING:
-            return self._process_tracking(img, timestamp)
+            res = self._process_tracking(img, timestamp)
+            self._last_ts = timestamp
+            return res
         frame = self._make_frame(img, timestamp)
         if self.stage == Stage.FIRST_FRAME:
             out = self._process_first_frame(frame)
@@ -583,6 +608,7 @@ class FrameHandlerMono:
             out = self._process_init(frame)
         else:
             out = self._process_reloc(frame)
+        self._last_ts = timestamp
         return out
 
     def _depth_scalars(self):
@@ -689,7 +715,8 @@ class FrameHandlerMono:
         """One device program + one stats read-back per frame."""
         out = self._jit_frame(
             self.ring, self.pool, self.last_frame, jnp.asarray(img),
-            jnp.float32(timestamp), self.T_rel_prev, self._depth_state,
+            jnp.float32(timestamp), self._motion_prior(timestamp),
+            self._depth_state,
             jnp.int32(self.frames_since_kf), self.rng_key)
         ring, pool, frame, T_rel, depth_state, stats_vec, pose = out
         sv = np.asarray(stats_vec)                    # single transfer
@@ -759,6 +786,63 @@ class FrameHandlerMono:
 def _scene_depth(frame: FrameState, xyz_w: jax.Array, valid: jax.Array):
     from svo_pro_universal_tpu.common.frame import scene_depth_stats
     return scene_depth_stats(frame, xyz_w, valid)
+
+
+class FrameHandlerVIO(FrameHandlerMono):
+    """Mono VIO: gyro priors in the frontend + sliding-window VI bundle
+    adjustment on keyframes (reference: the kMonoIMU pipeline with the
+    ceres backend attached — frame_handler_base.cpp:263-311 backend
+    handshake, svo_factory kMonoIMU)."""
+
+    def __init__(self, cfg: Config, cam: proj.Camera,
+                 T_cam_body: Optional[SE3] = None, seed: int = 0,
+                 imu_handler=None, imu_params=None, gravity=None):
+        super().__init__(cfg, cam, T_cam_body=T_cam_body, seed=seed,
+                         imu_handler=imu_handler)
+        from svo_pro_universal_tpu.backend import window_ba as wba_mod
+        from svo_pro_universal_tpu.backend.interface import BackendInterface
+        opts = wba_mod.BAOptions(
+            max_iter=cfg.backend.max_iterations,
+            gravity=tuple(gravity) if gravity is not None
+            else (0.0, 0.0, -9.81))
+        self.backend = BackendInterface(
+            cam.focal_length, self.T_cam_body,
+            num_keyframes=cfg.backend.num_keyframes,
+            imu_params=imu_params, opts=opts)
+        self._jit_apply_backend = jax.jit(self._apply_backend)
+
+    def _apply_backend(self, ring, pool, frame, T_new: SE3,
+                       lm_slots, lm_pos):
+        """Write corrected pose + landmarks back (reference:
+        loadMapFromBundleAdjustment frame_handler_base.cpp:263-311)."""
+        pool = pool._replace(pos=pool.pos.at[lm_slots].set(
+            lm_pos, mode="drop"))
+        frame = frame._replace(T_cam_world=T_new)
+        frames = jax.tree.map(
+            lambda r, f: r.at[ring.last_added].set(f), ring.frames, frame)
+        return ring._replace(frames=frames), pool, frame
+
+    def _process_tracking(self, img, timestamp: float) -> FrameResult:
+        res = super()._process_tracking(img, timestamp)
+        if res.is_keyframe and self.backend is not None:
+            kf = self.last_frame
+            lids = np.asarray(jax.device_get(kf.landmark_id))
+            valid = np.asarray(jax.device_get(kf.valid_mask()))
+            lids = np.where(valid, lids, -1)
+            f = np.asarray(jax.device_get(kf.f))
+            lidc = jnp.clip(kf.landmark_id, 0, self.pool.capacity - 1)
+            lm_pos = np.asarray(jax.device_get(self.pool.pos[lidc]))
+            out = self.backend.add_keyframe(
+                timestamp, kf.T_cam_world, lids, f, lm_pos,
+                imu_handler=self.imu)
+            if out is not None:
+                ring, pool, frame = self._jit_apply_backend(
+                    self.ring, self.pool, self.last_frame,
+                    out.T_cam_world,
+                    jnp.asarray(out.lm_slots_pool), out.lm_pos)
+                self.ring, self.pool, self.last_frame = ring, pool, frame
+                self.stats["backend_chi2"] = out.chi2
+        return res
 
 
 class FrameHandlerStereo(FrameHandlerMono):

@@ -167,6 +167,36 @@ class ImuHandler:
                 jnp.array([1.0, -1.0, -1.0, -1.0]) * q_cb))
         return SE3(quat_normalize(q), jnp.zeros(3))
 
+    def relative_rotation_prior_np(self, t0: float, t1: float,
+                                   R_cam_body: np.ndarray) -> np.ndarray:
+        """Host-side (numpy) gyro integration → R_c1_c0 rotation matrix.
+
+        Used on the per-frame host path where a device round-trip per prior
+        would dominate (the reference computes this on the CPU too,
+        imu_handler.cpp:270-297)."""
+        d = self.params.delay_imu_cam
+        ts = np.asarray(self._t, np.float64)
+        if len(ts) < 2:
+            return np.eye(3)
+        i0 = max(int(np.searchsorted(ts, t0 - d, "right")) - 1, 0)
+        i1 = min(int(np.searchsorted(ts, t1 - d, "left")) + 1, len(ts))
+        R = np.eye(3)
+        bg = np.asarray(self.gyro_bias)
+        for k in range(i0, i1 - 1):
+            dt = ts[k + 1] - ts[k]
+            if dt <= 0:
+                continue
+            w = (np.asarray(self._gyro[k]) - bg) * dt
+            th = np.linalg.norm(w)
+            if th < 1e-12:
+                continue
+            a = w / th
+            K = np.array([[0, -a[2], a[1]], [a[2], 0, -a[0]],
+                          [-a[1], a[0], 0]])
+            R = R @ (np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * K @ K)
+        # R is R_b0_b1; camera-frame relative: R_c1_c0 = R_cb · R_b0_b1ᵀ · R_cbᵀ
+        return R_cam_body @ R.T @ R_cam_body.T
+
     def initial_attitude(self, t: float) -> Optional[jax.Array]:
         """q_body_world from the accelerometer nearest to t."""
         if not self._t:
