@@ -173,6 +173,112 @@ def ransac_relative_pose(
                       n_inl > 0)
 
 
+def _homography_dlt(ur: jax.Array, uc: jax.Array) -> jax.Array:
+    """DLT homography per hypothesis: ur, uc [H, K, 2] unit-plane points →
+    H_cur_ref [H, 3, 3] with uc ≃ H·ur (reference: vikit homography.cpp)."""
+    x, y = ur[..., 0], ur[..., 1]
+    xp, yp = uc[..., 0], uc[..., 1]
+    one = jnp.ones_like(x)
+    zero = jnp.zeros_like(x)
+    r1 = jnp.stack([-x, -y, -one, zero, zero, zero,
+                    x * xp, y * xp, xp], axis=-1)
+    r2 = jnp.stack([zero, zero, zero, -x, -y, -one,
+                    x * yp, y * yp, yp], axis=-1)
+    A = jnp.concatenate([r1, r2], axis=-2)            # [H, 2K, 9]
+    AtA = jnp.einsum("hni,hnj->hij", A, A)
+    _, vecs = jnp.linalg.eigh(AtA)
+    h = vecs[..., :, 0]
+    return h.reshape(h.shape[:-1] + (3, 3))
+
+
+def _decompose_homography(H: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Calibrated homography H = R + t·nᵀ/d → 4 (R, t) candidates
+    (Faugeras/Ma decomposition; reference: vikit homography.cpp
+    computeSE3fromMatches). H [...,3,3] → (R [...,4,3,3], t [...,4,3])."""
+    _, s, _ = jnp.linalg.svd(H)
+    Hn = H / jnp.maximum(s[..., 1:2, None], 1e-9)     # middle sv → 1
+    M = jnp.swapaxes(Hn, -1, -2) @ Hn
+    w, V = jnp.linalg.eigh(M)                          # ascending
+    s3, s2, s1 = w[..., 0], w[..., 1], w[..., 2]
+    v1 = V[..., :, 2]
+    v2 = V[..., :, 1]
+    v3 = V[..., :, 0]
+    a = jnp.sqrt(jnp.maximum(1.0 - s3, 0.0))
+    b = jnp.sqrt(jnp.maximum(s1 - 1.0, 0.0))
+    denom = jnp.sqrt(jnp.maximum(s1 - s3, 1e-12))[..., None]
+    u1 = (a[..., None] * v1 + b[..., None] * v3) / denom
+    u2 = (a[..., None] * v1 - b[..., None] * v3) / denom
+
+    def rt_from(u):
+        n = jnp.cross(v2, u)
+        U1 = jnp.stack([v2, u, n], axis=-1)
+        Hv2 = jnp.einsum("...ij,...j->...i", Hn, v2)
+        Hu = jnp.einsum("...ij,...j->...i", Hn, u)
+        W1 = jnp.stack([Hv2, Hu, jnp.cross(Hv2, Hu)], axis=-1)
+        R = W1 @ jnp.swapaxes(U1, -1, -2)
+        t = jnp.einsum("...ij,...j->...i", Hn - R, n)
+        return R, t
+
+    Ra, ta = rt_from(u1)
+    Rb, tb = rt_from(u2)
+    R = jnp.stack([Ra, Ra, Rb, Rb], axis=-3)
+    t = jnp.stack([ta, -ta, tb, -tb], axis=-2)
+    return R, t
+
+
+def homography_relative_pose(
+    f_ref: jax.Array,
+    f_cur: jax.Array,
+    valid: jax.Array,
+    key: jax.Array,
+    focal_length: jax.Array,
+    reproj_thresh_px: float = 2.0,
+    n_hypotheses: int = 64,
+) -> InitResult:
+    """Batched homography RANSAC init for (near-)planar scenes, where the
+    essential matrix is degenerate (reference: HomographyInit
+    initialization.cpp + vikit homography.cpp)."""
+    n = f_ref.shape[0]
+    thresh_sq = jnp.square(reproj_thresh_px / focal_length)
+    ur_all = f_ref[:, 0:2] / jnp.where(
+        jnp.abs(f_ref[:, 2:3]) > 1e-8, f_ref[:, 2:3], 1e-8)
+    uc_all = f_cur[:, 0:2] / jnp.where(
+        jnp.abs(f_cur[:, 2:3]) > 1e-8, f_cur[:, 2:3], 1e-8)
+
+    p = valid.astype(jnp.float32)
+    p = p / jnp.maximum(jnp.sum(p), 1.0)
+    keys = jax.random.split(key, n_hypotheses)
+    all_idx = jnp.arange(n, dtype=jnp.int32)
+    idx = jax.vmap(lambda k: jax.random.choice(
+        k, all_idx, (4,), replace=False, p=p))(keys)
+    Hm = _homography_dlt(ur_all[idx], uc_all[idx])     # [H,3,3]
+
+    # score by symmetric-ish transfer error on the unit plane
+    num = jnp.einsum("hij,nj->hni", Hm[:, :, :2], ur_all) + Hm[:, None, :, 2]
+    uc_pred = num[..., 0:2] / jnp.where(
+        jnp.abs(num[..., 2:3]) > 1e-8, num[..., 2:3], 1e-8)
+    terr = jnp.sum(jnp.square(uc_pred - uc_all[None]), axis=-1)
+    inl_h = valid[None] & (terr < thresh_sq)
+    counts = jnp.sum(inl_h.astype(jnp.int32), axis=-1)
+    hbest = jnp.argmax(counts)
+
+    # refit on consensus, decompose, pick candidate by cheirality+Sampson
+    inl0 = inl_h[hbest]
+    urz = jnp.where(inl0[:, None], ur_all, 0.0)[None]
+    ucz = jnp.where(inl0[:, None], uc_all, 0.0)[None]
+    H_ref = _homography_dlt(urz, ucz)[0]
+    R4, t4 = _decompose_homography(H_ref)
+    # normalize translation (scale-free, matches essential convention)
+    t4 = t4 / jnp.maximum(jnp.linalg.norm(t4, axis=-1, keepdims=True), 1e-9)
+    c4, _ = _score_pose(R4, t4, f_ref, f_cur, valid, thresh_sq)
+    cb = jnp.argmax(c4)
+    R_best, t_best = R4[cb], t4[cb]
+    n_inl, inl = _score_pose(R_best, t_best, f_ref, f_cur, valid, thresh_sq)
+    T_cur_ref = SE3(matrix_to_quat(R_best), t_best)
+    depth, tri_ok = depth_from_triangulation(T_cur_ref, f_ref, f_cur)
+    return InitResult(T_cur_ref, inl & tri_ok, depth, n_inl, n_inl > 0)
+
+
 def two_point_relative_pose(
     f_ref: jax.Array,
     f_cur: jax.Array,

@@ -128,6 +128,53 @@ def scharr_gradient(img: jax.Array) -> tuple[jax.Array, jax.Array]:
     return dx, dy
 
 
+def sobel_gradient(img: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Sobel 3×3 derivative pair (reference: SobelDetector
+    feature_detection.cpp — cv::Sobel path)."""
+    def s(dxo, dyo):
+        return _shift2d(img, dxo, dyo)
+    dx = (s(1, -1) - s(-1, -1)) + 2.0 * (s(1, 0) - s(-1, 0)) \
+        + (s(1, 1) - s(-1, 1))
+    dy = (s(-1, 1) - s(-1, -1)) + 2.0 * (s(0, 1) - s(0, -1)) \
+        + (s(1, 1) - s(1, -1))
+    return dx, dy
+
+
+def canny_score_map(img: jax.Array, sigma_lo: float = 50.0,
+                    sigma_hi: float = 150.0) -> jax.Array:
+    """Canny-style edge score: gradient magnitude with non-max suppression
+    along the gradient direction + double threshold soft gate (reference:
+    CannyDetector feature_detection.cpp — cv::Canny path, re-expressed as
+    an arithmetic per-pixel score for the VPU)."""
+    dx, dy = sobel_gradient(img)
+    mag = jnp.sqrt(dx * dx + dy * dy)
+    # quantize direction to 4 bins and compare against the two neighbors
+    ang = jnp.arctan2(dy, dx)
+    b = jnp.round(ang / (jnp.pi / 4.0)).astype(jnp.int32) % 4
+    n0 = jnp.stack([_shift2d(mag, 1, 0), _shift2d(mag, 1, 1),
+                    _shift2d(mag, 0, 1), _shift2d(mag, -1, 1)])
+    n1 = jnp.stack([_shift2d(mag, -1, 0), _shift2d(mag, -1, -1),
+                    _shift2d(mag, 0, -1), _shift2d(mag, 1, -1)])
+    sel = jax.nn.one_hot(b, 4, axis=0, dtype=mag.dtype)
+    m0 = jnp.sum(n0 * sel, axis=0)
+    m1 = jnp.sum(n1 * sel, axis=0)
+    is_max = (mag >= m0) & (mag >= m1)
+    gate = jnp.clip((mag - sigma_lo) / jnp.maximum(sigma_hi - sigma_lo,
+                                                   1e-6), 0.0, 1.0)
+    return jnp.where(is_max, mag * gate, 0.0)
+
+
+def grad_huang_mumford_score_map(img: jax.Array,
+                                 alpha: float = 10.0) -> jax.Array:
+    """|∇I|-driven score with the Huang-Mumford log-prior weighting
+    (reference: GradientHuangMumfordDetector feature_detection.cpp —
+    score ∝ -log exp(-α|∇I|), monotone in |∇I| with soft saturation)."""
+    dx = 0.5 * (_shift2d(img, 1, 0) - _shift2d(img, -1, 0)) / 255.0
+    dy = 0.5 * (_shift2d(img, 0, 1) - _shift2d(img, 0, -1)) / 255.0
+    mag = jnp.sqrt(dx * dx + dy * dy)
+    return 255.0 * (1.0 - jnp.exp(-alpha * mag))
+
+
 def nms_3x3(score: jax.Array) -> jax.Array:
     """3×3 non-max suppression mask (reference: fast_nonmax_3x3)."""
     neigh = [_shift2d(score, dx, dy)
@@ -219,6 +266,25 @@ def detect_cell_candidates(
             score_map = shitomasi_score_map(img)
             angle_map = jnp.zeros_like(score_map)
             nms = nms_3x3(score_map)
+        elif detector == "sobel":
+            dx, dy = sobel_gradient(img)
+            score_map = jnp.sqrt(dx * dx + dy * dy)
+            angle_map = jnp.arctan2(dy, dx)
+            nms = nms_3x3(score_map)
+        elif detector == "canny":
+            score_map = canny_score_map(img)
+            dx, dy = sobel_gradient(img)
+            angle_map = jnp.arctan2(dy, dx)
+            nms = score_map > 0.0
+        elif detector == "gradhm":
+            score_map = grad_huang_mumford_score_map(img)
+            dx, dy = sobel_gradient(img)
+            angle_map = jnp.arctan2(dy, dx)
+            nms = nms_3x3(score_map)
+        elif detector == "allpixels":
+            score_map = jnp.ones_like(img)
+            angle_map = jnp.zeros_like(img)
+            nms = jnp.ones_like(img, bool)
         else:
             score_map = fast_score_map(img)
             angle_map = jnp.zeros_like(score_map)
@@ -283,12 +349,22 @@ def detect_features(
     the secondary detector on the grid pre-occupied by corners).
     """
     use_corners = detector_type in ("fast", "fast_grad", "shitomasi",
-                                    "shitomasi_grad")
+                                    "shitomasi_grad", "sobel", "canny",
+                                    "gradhm", "allpixels")
     use_grad = detector_type in ("grad", "fast_grad", "shitomasi_grad",
                                  "grid_grad")
-    corner_kind = "shitomasi" if "shitomasi" in detector_type else "fast"
-    corner_thresh = (threshold_shitomasi if corner_kind == "shitomasi"
-                     else threshold_primary)
+    if "shitomasi" in detector_type:
+        corner_kind = "shitomasi"
+    elif detector_type in ("sobel", "canny", "gradhm", "allpixels"):
+        corner_kind = detector_type
+    else:
+        corner_kind = "fast"
+    if corner_kind == "shitomasi":
+        corner_thresh = threshold_shitomasi
+    elif corner_kind == "allpixels":
+        corner_thresh = 0.0
+    else:
+        corner_thresh = threshold_primary
 
     n_cells = n_rows * n_cols
     zero2 = jnp.zeros((n_cells, 2), jnp.float32)
