@@ -1,0 +1,163 @@
+"""Global map: accumulates keyframes leaving the sliding window and runs
+large-window bundle adjustment; re-observable landmarks feed back to the
+frontend as fixed landmarks.
+
+TPU-native equivalent of the reference's iSAM2/GTSAM global map
+(reference: extra/svo_global_map/src/global_map.cpp — addKeyframe:
+GlobalMap::addKeyframe global_map.h:228, graph_manager.cpp smart factors
+:271-330, gtsam_optimizer.cpp iSAM2 thread; fixed-landmark feedback
+reprojector.h:64-69 + frame_handler_base.cpp:662-676). Instead of an
+incremental factor-graph solver on its own thread, the global problem is a
+larger fixed-shape window of 6-dof-relevant states optimized with the same
+Schur-complement machinery as the sliding window (backend/window_ba.py) —
+re-solving a few hundred poses is one device program, which is the TPU way
+to be 'incremental'. Keyframe-block partitioning across hosts over DCN is
+the planned scale-out (same einsum-Schur structure, psum over the mesh).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from svo_pro_universal_tpu.backend import window_ba as wba
+from svo_pro_universal_tpu.utils.transform import SE3
+
+
+class GlobalMapOptions(NamedTuple):
+    max_keyframes: int = 32
+    max_landmarks: int = 1024
+    max_obs: int = 4096
+    max_obs_per_kf: int = 100
+    optimize_every: int = 4        # run BA every N added keyframes
+    ba_iters: int = 4
+    # weak anchor toward the fed (metric, VIO-window) poses — holds the
+    # 7-dof vision-only gauge incl. scale (the reference's global map gets
+    # its gauge from CombinedImuFactors instead)
+    pose_anchor_sigma_t: float = 0.2
+    pose_anchor_sigma_r: float = 0.1
+
+
+class GlobalMap:
+    def __init__(self, cam_focal, T_cam_body: SE3,
+                 opts: GlobalMapOptions = GlobalMapOptions()):
+        self.opts = opts
+        self.T_cam_body = T_cam_body
+        self.focal = jnp.asarray(cam_focal)
+        self.window = wba.make_window(opts.max_keyframes,
+                                      opts.max_landmarks, opts.max_obs)
+        self.n_states = 0
+        self.kf_ids: list[int] = []
+        self.lid2slot: dict[int, int] = {}
+        self.slot2lid: dict[int, int] = {}
+        self._lm_cursor = 0
+        self._obs_cursor = 0
+        self._since_opt = 0
+        ba_opts = wba.BAOptions(max_iter=opts.ba_iters)
+        self._jit_opt = jax.jit(
+            lambda w: wba.optimize(w, self.T_cam_body, self.focal, ba_opts))
+
+    def __len__(self):
+        return self.n_states
+
+    def _lm_slot(self, lid: int) -> int:
+        if lid in self.lid2slot:
+            return self.lid2slot[lid]
+        slot = self._lm_cursor % self.opts.max_landmarks
+        self._lm_cursor += 1
+        old = self.slot2lid.pop(slot, None)
+        if old is not None:
+            self.lid2slot.pop(old, None)
+        self.lid2slot[lid] = slot
+        self.slot2lid[slot] = lid
+        return slot
+
+    def add_keyframe(self, kf_id: int, T_cam_world: SE3,
+                     landmark_ids: np.ndarray, bearings: np.ndarray,
+                     lm_positions: np.ndarray) -> Optional[float]:
+        """Absorb a keyframe evicted from the sliding window (reference:
+        doc/global_map.md:5-13 handoff). Returns BA chi2 when a solve ran."""
+        if self.n_states >= self.opts.max_keyframes:
+            return None            # full capacity this round (no forgetting)
+        k = self.n_states
+        w = self.window
+        T_w_b = T_cam_world.inverse().compose(self.T_cam_body)
+        # anchor prior block on this state's pose (gauge incl. scale)
+        d0 = k * wba.DOF
+        wt = 1.0 / self.opts.pose_anchor_sigma_t ** 2
+        wr = 1.0 / self.opts.pose_anchor_sigma_r ** 2
+        diag = jnp.asarray([wt] * 3 + [wr] * 3 + [0.0] * 9)
+        Hp = w.H_prior
+        Hp = jax.lax.dynamic_update_slice(
+            Hp, jnp.diag(diag), (d0, d0))
+        w = w._replace(
+            q=w.q.at[k].set(T_w_b.q), p=w.p.at[k].set(T_w_b.t),
+            q0=w.q0.at[k].set(T_w_b.q), p0=w.p0.at[k].set(T_w_b.t),
+            H_prior=Hp, has_prior=jnp.asarray(True),
+            state_valid=w.state_valid.at[k].set(True))
+
+        sel = np.nonzero(landmark_ids >= 0)[0][: self.opts.max_obs_per_kf]
+        obs_s, obs_l, obs_f, new_slots, new_pos = [], [], [], [], []
+        for i in sel:
+            lid = int(landmark_ids[i])
+            fresh = lid not in self.lid2slot
+            slot = self._lm_slot(lid)
+            if fresh:
+                new_slots.append(slot)
+                new_pos.append(lm_positions[i])
+            obs_s.append(k)
+            obs_l.append(slot)
+            obs_f.append(bearings[i])
+        if obs_s:
+            n = len(obs_s)
+            idx = (self._obs_cursor + np.arange(n)) % self.opts.max_obs
+            self._obs_cursor += n
+            w = w._replace(
+                obs_state=w.obs_state.at[idx].set(
+                    jnp.asarray(obs_s, jnp.int32)),
+                obs_lm=w.obs_lm.at[idx].set(jnp.asarray(obs_l, jnp.int32)),
+                obs_f=w.obs_f.at[idx].set(
+                    jnp.asarray(np.stack(obs_f), jnp.float32)),
+                obs_valid=w.obs_valid.at[idx].set(True))
+        if new_slots:
+            s = jnp.asarray(new_slots, jnp.int32)
+            w = w._replace(
+                lm_pos=w.lm_pos.at[s].set(
+                    jnp.asarray(np.stack(new_pos), jnp.float32)),
+                lm_valid=w.lm_valid.at[s].set(True))
+
+        self.window = w
+        self.n_states = k + 1
+        self.kf_ids.append(kf_id)
+        self._since_opt += 1
+        if self._since_opt >= self.opts.optimize_every and k >= 2:
+            self._since_opt = 0
+            self.window, chi2 = self._jit_opt(self.window)
+            return float(chi2)
+        return None
+
+    def force_optimize(self) -> float:
+        self._since_opt = 0
+        self.window, chi2 = self._jit_opt(self.window)
+        return float(chi2)
+
+    def keyframe_poses(self) -> tuple[np.ndarray, list[int]]:
+        """(T_world_body positions [n,3], keyframe ids) for viz/PGO."""
+        n = self.n_states
+        return np.asarray(self.window.p[:n]), list(self.kf_ids)
+
+    def fixed_landmarks(self, T_cam_world: SE3, max_out: int = 50
+                        ) -> tuple[np.ndarray, np.ndarray]:
+        """Globally-optimized landmarks visible from a pose, for the
+        frontend's FIXED_LANDMARK reprojection path (reference:
+        reprojector.h:64-69). Returns (pool ids, positions)."""
+        w = self.window
+        p_cam = T_cam_world.apply(w.lm_pos)
+        vis = np.asarray(w.lm_valid & (p_cam[:, 2] > 0.1))
+        slots = np.nonzero(vis)[0][:max_out]
+        ids = np.asarray([self.slot2lid.get(int(s), -1) for s in slots],
+                         np.int32)
+        return ids, np.asarray(w.lm_pos[jnp.asarray(slots, jnp.int32)])

@@ -146,12 +146,16 @@ def local_coords(w: Window) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def _reproj_terms(w: Window, T_cam_body: SE3, focal: jax.Array,
-                  opts: BAOptions):
+                  opts: BAOptions, lm_offset=0):
     """Batched unit-plane reprojection residuals + Jacobians.
 
+    `lm_offset` maps global landmark ids to this shard's local slots when
+    landmarks are sharded over a mesh (obs for other shards drop out).
     Returns (e [No,2], J_s [No,2,15], J_l [No,2,3], wgt [No], valid)."""
     s = jnp.clip(w.obs_state, 0, w.S - 1)
-    l = jnp.clip(w.obs_lm, 0, w.L - 1)
+    l_local = w.obs_lm - lm_offset
+    own = (l_local >= 0) & (l_local < w.L)
+    l = jnp.clip(l_local, 0, w.L - 1)
     q_s = w.q[s]
     p_s = w.p[s]
     X = w.lm_pos[l]
@@ -180,7 +184,8 @@ def _reproj_terms(w: Window, T_cam_body: SE3, focal: jax.Array,
     J_s = -jnp.concatenate([J_dp, J_dphi, zeros9], axis=-1)  # [No,2,15]
     J_l = -J_lm
 
-    valid = (w.obs_valid & w.state_valid[s] & w.lm_valid[l] & (z > 1e-6))
+    valid = (w.obs_valid & own & w.state_valid[s] & w.lm_valid[l]
+             & (z > 1e-6))
     sigma = opts.pixel_sigma / focal
     ew = jnp.linalg.norm(e, axis=-1) / sigma
     huber = jnp.where(ew <= opts.huber_reproj, 1.0,
@@ -213,18 +218,29 @@ def _imu_terms(w: Window, opts: BAOptions):
     r = jax.vmap(res_one)(*args)
     J_i = jax.vmap(jax.jacfwd(res_one, argnums=11))(*args)
     J_j = jax.vmap(jax.jacfwd(res_one, argnums=12))(*args)
+    # disabled factors are zero-weighted, but 0·NaN = NaN — sanitize
+    r = jnp.where(jnp.isfinite(r), r, 0.0)
+    J_i = jnp.where(jnp.isfinite(J_i), J_i, 0.0)
+    J_j = jnp.where(jnp.isfinite(J_j), J_j, 0.0)
     return r, J_i, J_j
 
 
 def build_system(w: Window, T_cam_body: SE3, focal: jax.Array,
-                 opts: BAOptions):
-    """(Hpp [D,D], bp [D], U [L,D,3], Hll [L,3,3], bl [L,3], chi2)."""
+                 opts: BAOptions, axis_name: str | None = None,
+                 lm_offset=0):
+    """(Hpp [D,D], bp [D], U [L,D,3], Hll [L,3,3], bl [L,3], chi2).
+
+    With `axis_name`, landmarks+observations are sharded over the mesh:
+    the state-block contributions are psum-reduced over ICI while the
+    landmark blocks (U, Hll, bl) stay shard-local — the distributed
+    Schur-complement decomposition (BASELINE.md weak-scaling target)."""
     S, L = w.S, w.L
     D = S * DOF
 
-    e, J_s, J_l, wgt, rvalid = _reproj_terms(w, T_cam_body, focal, opts)
+    e, J_s, J_l, wgt, rvalid = _reproj_terms(w, T_cam_body, focal, opts,
+                                             lm_offset)
     s_idx = jnp.clip(w.obs_state, 0, S - 1)
-    l_idx = jnp.clip(w.obs_lm, 0, L - 1)
+    l_idx = jnp.clip(w.obs_lm - lm_offset, 0, L - 1)
     s_seg = jnp.where(rvalid, s_idx, S)
     l_seg = jnp.where(rvalid, l_idx, L)
 
@@ -257,6 +273,13 @@ def build_system(w: Window, T_cam_body: SE3, focal: jax.Array,
     bl = jax.ops.segment_sum(bl_o, l_seg, num_segments=L + 1)[:L]
 
     chi2 = jnp.sum(jnp.sum(e * e, -1) * wgt)
+
+    if axis_name is not None:
+        # reduce the state-block (camera-camera) contributions over the
+        # mesh; landmark blocks stay shard-local by construction
+        Hpp = jax.lax.psum(Hpp, axis_name)
+        bp = jax.lax.psum(bp, axis_name)
+        chi2 = jax.lax.psum(chi2, axis_name)
 
     # ---- IMU factors ---------------------------------------------------
     r_imu, J_i, J_j = _imu_terms(w, opts)
@@ -325,14 +348,23 @@ def build_system(w: Window, T_cam_body: SE3, focal: jax.Array,
     return Hpp, bp, U, Hll, bl, chi2
 
 
-def solve_schur(Hpp, bp, U, Hll, bl, mu, lm_valid):
-    """Schur complement over landmark blocks + dense state solve."""
+def solve_schur(Hpp, bp, U, Hll, bl, mu, lm_valid,
+                axis_name: str | None = None):
+    """Schur complement over landmark blocks + dense state solve.
+
+    With `axis_name`, each shard reduces its own landmark blocks and the
+    camera-camera system is psum'd over ICI; the dense solve replicates."""
     D = Hpp.shape[0]
     Hll_d = Hll + mu * jnp.eye(3)[None]
     Hll_inv = jnp.linalg.inv(Hll_d)
     Hll_inv = Hll_inv * lm_valid[:, None, None]
-    S_mat = Hpp - jnp.einsum("lia,lab,ljb->ij", U, Hll_inv, U)
-    b_schur = bp - jnp.einsum("lia,lab,lb->i", U, Hll_inv, bl)
+    S_red = jnp.einsum("lia,lab,ljb->ij", U, Hll_inv, U)
+    b_red = jnp.einsum("lia,lab,lb->i", U, Hll_inv, bl)
+    if axis_name is not None:
+        S_red = jax.lax.psum(S_red, axis_name)
+        b_red = jax.lax.psum(b_red, axis_name)
+    S_mat = Hpp - S_red
+    b_schur = bp - b_red
     S_d = S_mat + mu * jnp.diag(jnp.maximum(jnp.diagonal(S_mat), 1.0))
     dx_p = jnp.linalg.solve(S_d, b_schur)
     dx_p = jnp.where(jnp.isfinite(dx_p), dx_p, 0.0)
@@ -343,18 +375,24 @@ def solve_schur(Hpp, bp, U, Hll, bl, mu, lm_valid):
 
 
 def optimize(w: Window, T_cam_body: SE3, focal: jax.Array,
-             opts: BAOptions = BAOptions()) -> tuple[Window, jax.Array]:
+             opts: BAOptions = BAOptions(),
+             axis_name: str | None = None,
+             lm_offset=0) -> tuple[Window, jax.Array]:
     """LM iterations with keep-best (reference: 3 iterations/frame,
-    ceres_backend_interface.hpp:29)."""
+    ceres_backend_interface.hpp:29). With `axis_name` this runs inside a
+    shard_map with landmarks+obs sharded over the mesh."""
 
     def chi2_of(wx):
-        *_, c2 = build_system(wx, T_cam_body, focal, opts)
+        *_, c2 = build_system(wx, T_cam_body, focal, opts, axis_name,
+                              lm_offset)
         return c2
 
     def body(k, carry):
         wx, mu, best_chi2 = carry
-        Hpp, bp, U, Hll, bl, c2 = build_system(wx, T_cam_body, focal, opts)
-        dx_p, dl = solve_schur(Hpp, bp, U, Hll, bl, mu, wx.lm_valid)
+        Hpp, bp, U, Hll, bl, c2 = build_system(wx, T_cam_body, focal, opts,
+                                               axis_name, lm_offset)
+        dx_p, dl = solve_schur(Hpp, bp, U, Hll, bl, mu, wx.lm_valid,
+                               axis_name)
         cand = retract_states(wx, dx_p)
         cand = cand._replace(
             lm_pos=wx.lm_pos + dl * wx.lm_valid[:, None])

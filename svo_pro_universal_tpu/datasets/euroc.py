@@ -23,6 +23,13 @@ class ImageSample:
     path: str
 
     def load(self) -> np.ndarray:
+        # native C++ decoder when available (native/png_decode.cc)
+        if self.path.endswith(".png"):
+            from svo_pro_universal_tpu import native_loader as nl
+            if nl.native_available():
+                out = nl.decode_png_gray8(open(self.path, "rb").read())
+                if out is not None:
+                    return out.astype(np.float32)
         from PIL import Image
         img = Image.open(self.path)
         arr = np.asarray(img)

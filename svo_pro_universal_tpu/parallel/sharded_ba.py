@@ -1,0 +1,91 @@
+"""Distributed sliding-window BA: landmark blocks sharded over the mesh.
+
+The decomposition from SURVEY.md §2.3 / BASELINE.md: each device owns a
+slice of the landmark blocks (U, Hll, bl) and its observations; the reduced
+camera-camera Schur system is `psum`-reduced over ICI; the small dense
+state solve replicates. The reference's 2-thread Ceres solve
+(ceres_backend_interface.hpp:29) becomes an N-chip data-parallel solve with
+one collective per LM iteration.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from svo_pro_universal_tpu.backend import imu_factor as imf
+from svo_pro_universal_tpu.backend import window_ba as wba
+from svo_pro_universal_tpu.parallel.mesh import FEATURE_AXIS
+from svo_pro_universal_tpu.utils.transform import SE3
+
+
+def partition_observations(w: wba.Window, n_shards: int) -> wba.Window:
+    """Reorder observation rows so each row sits in its landmark owner's
+    shard slice (host-side, numpy). Landmark slot ranges are contiguous:
+    shard d owns slots [d·L/n, (d+1)·L/n). Overflowing rows are dropped
+    (logged by the caller via the returned mask if needed)."""
+    L, No = w.L, w.obs_state.shape[0]
+    assert L % n_shards == 0 and No % n_shards == 0
+    per_lm = L // n_shards
+    per_obs = No // n_shards
+    obs_lm = np.asarray(w.obs_lm)
+    obs_state = np.asarray(w.obs_state)
+    obs_f = np.asarray(w.obs_f)
+    obs_valid = np.asarray(w.obs_valid)
+
+    new_state = np.zeros_like(obs_state)
+    new_lm = np.zeros_like(obs_lm)
+    new_f = np.zeros_like(obs_f)
+    new_valid = np.zeros_like(obs_valid)
+    fill = [0] * n_shards
+    for i in range(No):
+        if not obs_valid[i]:
+            continue
+        d = int(obs_lm[i]) // per_lm
+        if d < 0 or d >= n_shards or fill[d] >= per_obs:
+            continue
+        j = d * per_obs + fill[d]
+        fill[d] += 1
+        new_state[j] = obs_state[i]
+        new_lm[j] = obs_lm[i]
+        new_f[j] = obs_f[i]
+        new_valid[j] = True
+    return w._replace(
+        obs_state=jnp.asarray(new_state), obs_lm=jnp.asarray(new_lm),
+        obs_f=jnp.asarray(new_f), obs_valid=jnp.asarray(new_valid))
+
+
+def distributed_optimize(w: wba.Window, T_cam_body: SE3, focal,
+                         mesh: Mesh, opts: wba.BAOptions = wba.BAOptions()
+                         ) -> tuple[wba.Window, jax.Array]:
+    """Optimize with landmarks/observations sharded over `mesh`.
+
+    `w` must be pre-partitioned with `partition_observations(w, n)`."""
+    n = mesh.devices.size
+    rep = P()
+    shard = P(FEATURE_AXIS)
+
+    imu_spec = jax.tree.map(lambda _: rep, w.imu)
+    in_spec = wba.Window(
+        q=rep, p=rep, v=rep, bg=rep, ba=rep, state_valid=rep,
+        lm_pos=shard, lm_valid=shard,
+        obs_state=shard, obs_lm=shard, obs_f=shard, obs_valid=shard,
+        imu=imu_spec, imu_info=rep, imu_valid=rep,
+        H_prior=rep, b_prior=rep, q0=rep, p0=rep, v0=rep, bg0=rep,
+        ba0=rep, has_prior=rep)
+    out_spec = (in_spec, rep)
+    L_local = w.L // n
+
+    @partial(shard_map, mesh=mesh, in_specs=(in_spec,),
+             out_specs=out_spec, check_vma=False)
+    def step(wl):
+        lm_offset = jax.lax.axis_index(FEATURE_AXIS) * L_local
+        return wba.optimize(wl, T_cam_body, focal, opts,
+                            axis_name=FEATURE_AXIS, lm_offset=lm_offset)
+
+    return step(w)

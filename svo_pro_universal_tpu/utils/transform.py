@@ -138,7 +138,9 @@ def so3_log(q: jax.Array) -> jax.Array:
     q = q * jnp.where(q[..., 0:1] < 0, -1.0, 1.0)  # w >= 0 → theta in [0, pi]
     qw = jnp.clip(q[..., 0:1], -1.0, 1.0)
     qv = q[..., 1:4]
-    sin_half = jnp.linalg.norm(qv, axis=-1, keepdims=True)
+    # grad-safe norm: jnp.linalg.norm has a NaN gradient at exactly 0,
+    # which poisons jacfwd through residuals evaluated at the identity
+    sin_half = jnp.sqrt(jnp.sum(qv * qv, axis=-1, keepdims=True) + 1e-24)
     half = jnp.arctan2(sin_half, qw)
     small = sin_half < 1e-6
     # theta / sin(theta/2) ≈ 2 + theta^2/12 for small theta
