@@ -845,6 +845,100 @@ class FrameHandlerVIO(FrameHandlerMono):
         return res
 
 
+class FrameHandlerArray(FrameHandlerMono):
+    """N-camera rig pipeline (reference: FrameHandlerArray
+    frame_handler_array.cpp:38-204). Round-1 scope: the primary camera
+    drives direct tracking and the map; every secondary camera contributes
+    metric landmarks by batched cross-camera epipolar triangulation at
+    keyframes (the N-wise generalization of the stereo path). Full
+    N-camera joint alignment/reprojection shares the CameraInput-list
+    machinery (ops/sparse_img_align.py takes a list) and lands with the
+    frame-bundle refactor."""
+
+    def __init__(self, cfg: Config, cams, T_body_cams, seed: int = 0):
+        super().__init__(cfg, cams[0],
+                         T_cam_body=T_body_cams[0].inverse(), seed=seed)
+        from svo_pro_universal_tpu.frontend import stereo_triangulation as st
+        self._st = st
+        self.cams = list(cams)
+        self.T_c_c0 = [
+            T_body_cams[i].inverse().compose(T_body_cams[0])
+            for i in range(1, len(cams))]
+        self._st_opts = st.StereoTriangulationOptions(
+            mean_depth_inv=cfg.stereo.mean_depth_inv,
+            min_depth_inv=cfg.stereo.min_depth_inv,
+            max_depth_inv=cfg.stereo.max_depth_inv,
+            max_search_level=cfg.detector.max_level)
+        self._jit_pair_lm = [
+            jax.jit(partial(self._pair_landmarks, pair_idx=i))
+            for i in range(len(self.T_c_c0))]
+
+    def _pair_landmarks(self, ring, pool, frame, pyr_other, pair_idx):
+        own_seed = (frame.valid_mask() & ft.is_unconverged_seed(frame.ftype)
+                    & (frame.seed_ref_kf < 0) & (frame.landmark_id < 0))
+        m = self._st.triangulate_pair(
+            frame.pyramid, pyr_other, self.cam, self.cams[pair_idx + 1],
+            self.T_c_c0[pair_idx], frame.px, frame.f, frame.grad,
+            frame.level, frame.ftype, own_seed, self._st_opts)
+        ok = m.success & own_seed
+        xyz_w = frame.T_world_cam.apply(frame.f * m.depth0[:, None])
+        pool, slots = allocate(pool, xyz_w, ok)
+        slot_kf = ring.last_added
+        pool = add_observations(
+            pool, slots, jnp.broadcast_to(slot_kf, slots.shape),
+            jnp.arange(self.max_fts, dtype=jnp.int32), ok)
+        frame = frame._replace(
+            landmark_id=jnp.where(ok, slots, frame.landmark_id),
+            ftype=jnp.where(ok, ft.seed_to_landmark_type(
+                ft.seed_to_converged(frame.ftype)), frame.ftype))
+        ring = insert_keyframe(ring, frame, slot_kf)
+        return ring, pool, frame, jnp.sum(ok.astype(jnp.int32))
+
+    def add_image_bundle(self, images, timestamp: float) -> FrameResult:
+        """images: one per camera, cam0 first."""
+        self._pyr_others = [build_pyramid(image_to_float(im), self.n_levels)
+                            for im in images[1:]]
+        return self.add_image(images[0], timestamp)
+
+    def _triangulate_all_pairs(self):
+        n_total = 0
+        for i, jit_fn in enumerate(self._jit_pair_lm):
+            self.ring, self.pool, self.last_frame, n_lm = jit_fn(
+                self.ring, self.pool, self.last_frame,
+                self._pyr_others[i])
+            n_total += int(n_lm)
+        self.stats["kf_array_landmarks"] = n_total
+
+    def _process_first_frame(self, frame: FrameState) -> FrameResult:
+        self.rng_key, k = jax.random.split(self.rng_key)
+        frame, n_new = self._jit_detect(frame, k, self._depth_scalars())
+        if int(n_new) < self.cfg.init.init_min_features:
+            return self._result(frame, 0, TrackingQuality.INSUFFICIENT)
+        frame = frame._replace(is_keyframe=jnp.asarray(True))
+        self.ring = insert_keyframe(self.ring, frame, jnp.asarray(0))
+        self.last_frame = frame
+        self._triangulate_all_pairs()
+        n_lm = self.stats.get("kf_array_landmarks", 0)
+        if n_lm < self.cfg.init.init_min_inliers:
+            self.ring = jax.tree.map(jnp.zeros_like, self.ring)
+            self.pool = make_pool(self.cfg.capacity.max_points,
+                                  self.cfg.capacity.max_obs_per_point)
+            return self._result(frame, n_lm, TrackingQuality.INSUFFICIENT)
+        self.T_rel_prev = SE3.identity()
+        self.frames_since_kf = 0
+        self.stage = Stage.TRACKING
+        return self._result(self.last_frame, n_lm, is_kf=True)
+
+    def _process_init(self, frame: FrameState) -> FrameResult:
+        return self._process_first_frame(frame)
+
+    def _process_tracking(self, img, timestamp: float) -> FrameResult:
+        res = super()._process_tracking(img, timestamp)
+        if res.is_keyframe:
+            self._triangulate_all_pairs()
+        return res
+
+
 class FrameHandlerStereo(FrameHandlerMono):
     """Stereo pipeline: instant metric bootstrap from the calibrated pair,
     left-camera direct tracking, stereo re-triangulation at every keyframe
