@@ -211,6 +211,17 @@ def project(cam: Camera, xyz: jax.Array) -> tuple[jax.Array, jax.Array]:
         p = xyz[..., 0:2] * scale[..., None]
         pd = _apply_distortion(cam, p)
         valid = theta < jnp.pi / 2.0
+    elif cam.projection == ProjectionModel.OMNI:
+        # unified omnidirectional (Mei) model: mirror parameter xi rides in
+        # dist_params[4] (reference: vikit omni_projection.h — catadioptric
+        # cameras with >180° FOV)
+        xi = cam.dist_params[4]
+        n = jnp.linalg.norm(xyz, axis=-1)
+        denom = z + xi * n
+        di = 1.0 / jnp.where(jnp.abs(denom) > 1e-8, denom, 1e-8)
+        p = xyz[..., 0:2] * di[..., None]
+        pd = _apply_distortion(cam, p)
+        valid = denom > 1e-6
     else:
         raise NotImplementedError(cam.projection)
     uv = jnp.stack([fx * pd[..., 0] + cx, fy * pd[..., 1] + cy], axis=-1)
@@ -232,6 +243,14 @@ def backproject(cam: Camera, uv: jax.Array) -> jax.Array:
         sin_t = jnp.sin(theta)
         dir_xy = jnp.where(theta > 1e-8, p / jnp.maximum(theta, 1e-8), p)
         f = jnp.concatenate([dir_xy * sin_t, jnp.cos(theta)], axis=-1)
+    elif cam.projection == ProjectionModel.OMNI:
+        # invert the unified model: with r² = x²+y² on the normalized
+        # plane, z = (xi + sqrt(1 + (1-xi²)r²)) / (1+r²) − xi
+        xi = cam.dist_params[4]
+        r2 = jnp.sum(p * p, axis=-1, keepdims=True)
+        zc = (xi + jnp.sqrt(jnp.maximum(1.0 + (1.0 - xi * xi) * r2, 0.0))
+              ) / (1.0 + r2)
+        f = jnp.concatenate([p * zc, zc - xi], axis=-1)
     else:
         raise NotImplementedError(cam.projection)
     return f / jnp.linalg.norm(f, axis=-1, keepdims=True)

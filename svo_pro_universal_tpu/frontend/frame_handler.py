@@ -625,6 +625,30 @@ class FrameHandlerMono:
         if int(n_new) < self.cfg.init.init_min_features:
             return self._result(frame, 0, TrackingQuality.INSUFFICIENT)
         frame = frame._replace(is_keyframe=jnp.asarray(True))
+
+        if self.cfg.init.init_method == "OneShot":
+            # every feature becomes a landmark at the expected depth
+            # (reference: OneShotInit initialization.cpp — constant-depth
+            # bootstrap for downward-looking drones at known height)
+            valid = frame.valid_mask()
+            depth = jnp.asarray(self.cfg.init.expected_avg_depth,
+                                jnp.float32)
+            pts_w = frame.T_world_cam.apply(frame.f * depth)
+            self.pool, slots = allocate(self.pool, pts_w, valid)
+            self.pool = add_observations(
+                self.pool, slots, jnp.zeros_like(slots),
+                jnp.arange(self.max_fts, dtype=jnp.int32), valid)
+            frame = frame._replace(
+                landmark_id=jnp.where(valid, slots, -1),
+                ftype=jnp.where(valid, jnp.int32(ft.FeatureType.CORNER),
+                                frame.ftype))
+            self.ring = insert_keyframe(self.ring, frame, jnp.asarray(0))
+            self.last_frame = frame
+            self.T_rel_prev = SE3.identity()
+            self.frames_since_kf = 0
+            self.stage = Stage.TRACKING
+            return self._result(frame, int(n_new), is_kf=True)
+
         self.ring = insert_keyframe(self.ring, frame, jnp.asarray(0))
         self.last_frame = frame
         self._init_ref_frame = frame
