@@ -148,13 +148,13 @@ class LoopClosing:
         self._last_added = kf_id
         return result
 
-    def _query(self, snapshot: KeyframeSnapshot
-               ) -> Optional[LoopCandidate]:
+    def _query(self, snapshot: KeyframeSnapshot,
+               include_recent: bool = False) -> Optional[LoopCandidate]:
         n = len(self.snapshots)
-        if n <= self.opts.min_temporal_gap:
+        lim = n if include_recent else n - self.opts.min_temporal_gap
+        if lim <= 0:
             return None
-        sims = np.asarray(self._desc_matrix[: n - self.opts.min_temporal_gap]
-                          @ snapshot.descriptor)
+        sims = np.asarray(self._desc_matrix[:lim] @ snapshot.descriptor)
         best = int(np.argmax(sims))
         if sims[best] < self.opts.min_similarity:
             return None

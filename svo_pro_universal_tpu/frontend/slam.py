@@ -139,6 +139,32 @@ class FrameHandlerSLAM(FrameHandlerMono):
             self.global_map.add_keyframe(node, T_cw, lids, f, lm_pos)
         return res
 
+    def _process_reloc(self, frame):
+        """Relocalize against the WHOLE keyframe database via place
+        recognition + 3D-2D verification before falling back to the
+        closest-keyframe retry (upgrade over the reference's
+        relocalizeFrame, frame_handler_mono.cpp:254-279 — its map-wide
+        relocalization lived in the never-integrated loop-closing
+        module's map_alignment)."""
+        if len(self.loop_closer) >= 1:
+            self.rng_key, k = jax.random.split(self.rng_key)
+            det_frame, _ = self._jit_detect(frame, k, self._depth_scalars())
+            snap = snapshot_keyframe(
+                det_frame.image, det_frame.px, det_frame.f,
+                jnp.zeros((self.max_fts,)), det_frame.valid_mask(),
+                self.loop_closer.opts)
+            cand = self.loop_closer._query(snap, include_recent=True)
+            if cand is not None:
+                out = self.loop_closer._verify(-1, snap, cand,
+                                               self.cam.focal_length)
+                if out is not None:
+                    T_old_wc = self._kf_poses[cand.kf_id]  # T_world_cam
+                    T_new_cw = out.T_cur_old.compose(T_old_wc.inverse())
+                    self.last_frame = self.last_frame._replace(
+                        T_cam_world=T_new_cw)
+                    self.stats["reloc_pr_node"] = cand.kf_id
+        return super()._process_reloc(frame)
+
     def pgo_trajectory(self) -> np.ndarray:
         """Optimized keyframe camera positions [n, 3] (nodes are
         T_world_cam, so translations are camera centers directly)."""
