@@ -149,6 +149,18 @@ class GlobalMap:
         n = self.n_states
         return np.asarray(self.window.p[:n]), list(self.kf_ids)
 
+    def optimized_landmarks(self) -> tuple[np.ndarray, np.ndarray]:
+        """All globally-optimized landmarks as (landmark ids [n],
+        positions [n, 3]) for re-injection into the frontend pool
+        (reference: fixed-landmark feedback frame_handler_base.cpp:662-676)."""
+        w = self.window
+        slots = np.nonzero(np.asarray(w.lm_valid))[0]
+        ids = np.asarray([self.slot2lid.get(int(s), -1) for s in slots],
+                         np.int32)
+        keep = ids >= 0
+        pos = np.asarray(w.lm_pos[jnp.asarray(slots, jnp.int32)])
+        return ids[keep], pos[keep]
+
     def fixed_landmarks(self, T_cam_world: SE3, max_out: int = 50
                         ) -> tuple[np.ndarray, np.ndarray]:
         """Globally-optimized landmarks visible from a pose, for the

@@ -27,6 +27,9 @@ class LandmarkPool(NamedTuple):
     n_failed_reproj: jax.Array     # [P] i32
     n_succeeded_reproj: jax.Array  # [P] i32
     last_structure_optim: jax.Array  # [P] i32 frame id of last point GN
+    fixed: jax.Array         # [P] bool: globally-optimized FIXED_LANDMARK
+    # (reference: reprojector.h:64-69 fixed_landmark feedback — positions
+    #  owned by the global map; excluded from frontend structure GN)
     cursor: jax.Array        # i32 scalar: next allocation slot
     next_id: jax.Array       # i32 scalar: next global id
 
@@ -50,6 +53,7 @@ def make_pool(max_points: int, max_obs: int, dtype=jnp.float32) -> LandmarkPool:
         n_failed_reproj=jnp.zeros((max_points,), jnp.int32),
         n_succeeded_reproj=jnp.zeros((max_points,), jnp.int32),
         last_structure_optim=jnp.full((max_points,), -1, jnp.int32),
+        fixed=jnp.zeros((max_points,), bool),
         cursor=jnp.asarray(0, jnp.int32),
         next_id=jnp.asarray(0, jnp.int32),
     )
@@ -84,6 +88,7 @@ def allocate(pool: LandmarkPool, positions: jax.Array,
         n_failed_reproj=pool.n_failed_reproj.at[widx].set(0, mode="drop"),
         n_succeeded_reproj=pool.n_succeeded_reproj.at[widx].set(0, mode="drop"),
         last_structure_optim=pool.last_structure_optim.at[widx].set(-1, mode="drop"),
+        fixed=pool.fixed.at[widx].set(False, mode="drop"),
         cursor=(pool.cursor + n_new) % pool.capacity,
         next_id=pool.next_id + n_new,
     )

@@ -255,10 +255,13 @@ class FrameHandlerMono:
         f_obs = ring.frames.f[okf, oidx]               # [N, O, 3]
         T_obs = jax.tree.map(lambda x: x[okf], ring.frames.T_cam_world)
         obs_ok = (obs_kf >= 0) & ring.valid[okf]
-        # a point needs ≥2 live observations to be re-triangulable
+        # a point needs ≥2 live observations to be re-triangulable; fixed
+        # (globally-optimized) landmarks are owned by the global map and
+        # skipped here (reference: FIXED_LANDMARK never enters Point GN)
         enough = jnp.sum(obs_ok.astype(jnp.int32), axis=-1) >= 2
         so_res = so_mod.optimize_points(
-            pool.pos[lidc], f_obs, T_obs, obs_ok, has_lm & enough, n_iter=5)
+            pool.pos[lidc], f_obs, T_obs, obs_ok,
+            has_lm & enough & ~pool.fixed[lidc], n_iter=5)
         new_pos = pool.pos.at[jnp.where(has_lm, lidc, pool.capacity)].set(
             so_res.xyz, mode="drop")
         pool = pool._replace(pos=new_pos)

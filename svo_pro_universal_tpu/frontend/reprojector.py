@@ -56,11 +56,13 @@ class ReprojectResult(NamedTuple):
     n_trials: jax.Array
 
 
-def _type_rank(ftype: jax.Array, has_landmark: jax.Array) -> jax.Array:
+def _type_rank(ftype: jax.Array, has_landmark: jax.Array,
+               is_fixed: jax.Array) -> jax.Array:
     """Priority for cell selection: fixed landmarks > landmarks > converged
     seeds > seeds (reference reprojector.cpp candidate ordering)."""
     rank = jnp.where(has_landmark, 3, 0)
-    rank = jnp.where(ftype == ft.FeatureType.FIXED_LANDMARK, 4, rank)
+    rank = jnp.where(is_fixed | (ftype == ft.FeatureType.FIXED_LANDMARK),
+                     4, rank)
     rank = jnp.where(ft.is_converged_seed(ftype) & ~has_landmark, 2, rank)
     rank = jnp.where(ft.is_unconverged_seed(ftype) & ~has_landmark, 1, rank)
     return rank
@@ -135,7 +137,9 @@ def reproject(
     cell_free = ~grid_occupied[jnp.clip(cell, 0, n_cells - 1)]
     cand = cand & cell_free
 
-    rank = _type_rank(c_type, has_lm)
+    lidc = jnp.clip(c_lid, 0, pool.capacity - 1)
+    is_fixed = has_lm & pool.fixed[lidc]
+    rank = _type_rank(c_type, has_lm, is_fixed)
     # priority key: type rank then landmark observation count / seed quality
     quality = jnp.where(
         has_lm,
@@ -191,7 +195,12 @@ def reproject(
     top_key, top_i = jax.lax.top_k(sel_key, min(M, MC))
     sel_ok = jnp.isfinite(top_key)
 
-    out_type = c_type[cidx][top_i]
+    # globally-optimized landmarks re-enter the frontend as FIXED_LANDMARK
+    # (reference frame_handler_base.cpp:662-676): pose opt uses them, the
+    # structure GN leaves their position to the global map
+    out_type = jnp.where(is_fixed[cidx][top_i],
+                         jnp.int32(ft.FeatureType.FIXED_LANDMARK),
+                         c_type[cidx][top_i])
     has_lm_c = has_lm[cidx]
     # re-observed features: propagate type; converged seeds observed here
     # stay seeds until upgraded at the next keyframe

@@ -46,6 +46,7 @@ class FrameHandlerSLAM(FrameHandlerMono):
                                      T_cam_body or SE3.identity())
                            if use_global_map else None)
         self.n_loops_closed = 0
+        self._uid2slot: dict[int, int] = {}   # unique landmark id → pool slot
         self._jit_snapshot_data = jax.jit(self._snapshot_data)
         self._jit_apply_corr = jax.jit(self._apply_correction)
         self._jit_pgo = jax.jit(
@@ -130,14 +131,48 @@ class FrameHandlerSLAM(FrameHandlerMono):
             self.stats["loop_closed_to"] = constraint.kf_id_to
 
         if self.global_map is not None:
-            lids = np.asarray(jax.device_get(kf.landmark_id))
+            slots = np.asarray(jax.device_get(kf.landmark_id))
             v = np.asarray(jax.device_get(valid))
-            lids = np.where(v, lids, -1)
+            slots = np.where(v, slots, -1)
+            slotc = np.clip(slots, 0, self.pool.capacity - 1)
+            # key the global map by the pool's globally-unique landmark id
+            # so slot reuse in the frontend ring can't alias global states
+            uids = np.asarray(jax.device_get(self.pool.ids))[slotc]
+            uids = np.where(slots >= 0, uids, -1)
+            for s, u in zip(slots.tolist(), uids.tolist()):
+                if s >= 0 and u >= 0:
+                    self._uid2slot[u] = s
             f = np.asarray(jax.device_get(kf.f))
-            lidc = jnp.clip(kf.landmark_id, 0, self.pool.capacity - 1)
-            lm_pos = np.asarray(jax.device_get(self.pool.pos[lidc]))
-            self.global_map.add_keyframe(node, T_cw, lids, f, lm_pos)
+            lm_pos = np.asarray(jax.device_get(
+                self.pool.pos[jnp.asarray(slotc)]))
+            chi2 = self.global_map.add_keyframe(node, T_cw, uids, f, lm_pos)
+            if chi2 is not None:
+                self._reinject_fixed_landmarks()
         return res
+
+    def _reinject_fixed_landmarks(self) -> None:
+        """Write globally-optimized landmark positions back into the
+        frontend pool and mark them FIXED (reference: fixed-landmark
+        feedback to the reprojector, frame_handler_base.cpp:662-676 +
+        reprojector.h:64-69). Fixed points win reprojection-grid priority
+        and are excluded from the frontend's structure GN."""
+        uids, pos = self.global_map.optimized_landmarks()
+        if uids.size == 0:
+            return
+        slots = np.asarray([self._uid2slot.get(int(u), -1) for u in uids],
+                           np.int32)
+        keep = slots >= 0
+        if not keep.any():
+            return
+        s = jnp.asarray(slots[keep])
+        p = jnp.asarray(pos[keep], jnp.float32)
+        u = jnp.asarray(uids[keep])
+        ok = self.pool.valid[s] & (self.pool.ids[s] == u)
+        widx = jnp.where(ok, s, self.pool.capacity)
+        self.pool = self.pool._replace(
+            pos=self.pool.pos.at[widx].set(p, mode="drop"),
+            fixed=self.pool.fixed.at[widx].set(True, mode="drop"))
+        self.stats["n_fixed_landmarks"] = int(jnp.sum(ok))
 
     def _process_reloc(self, frame):
         """Relocalize against the WHOLE keyframe database via place

@@ -54,3 +54,44 @@ def test_global_map_refines_absorbed_keyframes(rng):
     lids_out, pos = gm.fixed_landmarks(T_query, max_out=20)
     assert len(lids_out) > 0
     assert (lids_out >= 0).all()
+
+
+def test_optimized_landmarks_and_pool_reinjection(rng):
+    """optimized_landmarks() returns (uid, pos) pairs and the SLAM-handler
+    re-injection semantics mark matching pool slots FIXED (reference:
+    fixed-landmark feedback frame_handler_base.cpp:662-676)."""
+    from svo_pro_universal_tpu.common.point import allocate, make_pool
+
+    lm = rng.uniform([-2, -2, 2], [2, 2, 6], (40, 3)).astype(np.float32)
+    gm = GlobalMap(300.0, SE3.identity(),
+                   GlobalMapOptions(max_keyframes=8, optimize_every=100))
+    for k in range(3):
+        T_w_b = SE3.identity()._replace(
+            t=jnp.asarray([0.2 * k, 0.0, 0.0], jnp.float32))
+        pb = jnp.asarray(lm) - T_w_b.t[None]
+        f = np.asarray(pb / jnp.linalg.norm(pb, axis=-1, keepdims=True))
+        uids = np.arange(40, dtype=np.int32) + 100  # unique landmark ids
+        gm.add_keyframe(k, T_w_b.inverse(), uids, f, lm)
+    uids_out, pos_out = gm.optimized_landmarks()
+    assert uids_out.size == 40
+    assert set(uids_out.tolist()) == set(range(100, 140))
+    assert pos_out.shape == (40, 3)
+
+    # pool re-injection semantics: uid must still match the slot's id
+    pool = make_pool(64, 4)
+    pool, slots = allocate(pool, jnp.asarray(lm),
+                           jnp.ones((40,), bool))
+    pool = pool._replace(ids=pool.ids.at[np.asarray(slots)].set(
+        jnp.asarray(uids_out)))
+    s = jnp.asarray(np.asarray(slots))
+    ok = pool.valid[s] & (pool.ids[s] == jnp.asarray(uids_out))
+    widx = jnp.where(ok, s, pool.capacity)
+    pool = pool._replace(
+        pos=pool.pos.at[widx].set(jnp.asarray(pos_out), mode="drop"),
+        fixed=pool.fixed.at[widx].set(True, mode="drop"))
+    assert bool(pool.fixed[s].all())
+    # a reused slot (id mismatch) must NOT be marked fixed
+    pool2 = pool._replace(fixed=jnp.zeros_like(pool.fixed),
+                          ids=pool.ids.at[s[0]].set(-7))
+    ok2 = pool2.valid[s] & (pool2.ids[s] == jnp.asarray(uids_out))
+    assert not bool(ok2[0]) and bool(ok2[1:].all())
