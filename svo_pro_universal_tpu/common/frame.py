@@ -8,7 +8,9 @@ landmark ids, invmu_sigma2_a_b_vec_). Differences by design:
 - Feature arrays are ``[MAX_FTS]``-padded; empty slots carry
   ``FeatureType.INVALID``. `num_features` counts the live prefix is NOT
   required — masks rule, so features may live in any slot.
-- The image pyramid is a tuple of static-shape float32 arrays.
+- The image pyramid is ONE padded [L, H, W] float32 array (level l in the
+  top-left (H>>l, W>>l) corner — see ops.pyramid), so dynamic per-feature
+  level sampling is a fast sliced gather (ops.tiles).
 - Pose ``T_cam_world`` (T_f_w in the reference) and the IMU-body extrinsic
   ``T_cam_body`` (T_cam_imu) ride along as SE3 leaves.
 - Landmark linkage is by index into the global landmark pool
@@ -21,7 +23,7 @@ jitted over, vmapped over cameras, stacked into the keyframe ring.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -41,7 +43,7 @@ class FrameState(NamedTuple):
     T_cam_world: SE3            # camera-from-world (reference: T_f_w_)
     T_cam_body: SE3             # camera-from-IMU/body (reference: T_cam_imu)
     # --- images ---
-    pyramid: tuple              # tuple of [H>>l, W>>l] float32 arrays
+    pyramid: jax.Array          # padded [L, H, W] float32 (ops.pyramid)
     # --- feature store, all [MAX_FTS] leading dim ---
     px: jax.Array               # [N, 2] pixel coords at level 0
     f: jax.Array                # [N, 3] unit bearing vectors
@@ -69,7 +71,7 @@ class FrameState(NamedTuple):
 
     @property
     def img_shape(self) -> tuple[int, int]:
-        return self.pyramid[0].shape
+        return self.pyramid.shape[-2:]
 
     def valid_mask(self) -> jax.Array:
         return ft.is_valid(self.ftype)
@@ -103,7 +105,7 @@ class FrameState(NamedTuple):
 
 
 def make_empty_frame(
-    pyramid: Sequence[jax.Array],
+    pyramid: jax.Array,
     max_fts: int,
     T_cam_world: SE3 | None = None,
     T_cam_body: SE3 | None = None,
@@ -122,7 +124,7 @@ def make_empty_frame(
         timestamp=jnp.asarray(timestamp, dtype),
         T_cam_world=T_cam_world,
         T_cam_body=T_cam_body,
-        pyramid=tuple(pyramid),
+        pyramid=jnp.asarray(pyramid),
         px=jnp.zeros((n, 2), dtype),
         f=jnp.zeros((n, 3), dtype),
         grad=jnp.zeros((n, 2), dtype),

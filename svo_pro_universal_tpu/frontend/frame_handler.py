@@ -33,7 +33,7 @@ from svo_pro_universal_tpu.config import Config
 from svo_pro_universal_tpu.frontend import initialization as init_mod
 from svo_pro_universal_tpu.frontend import reprojector as repro_mod
 from svo_pro_universal_tpu.frontend.map import (
-    KeyframeRing, RingPyramid, closest_keyframe_slot, eviction_slot,
+    KeyframeRing, closest_keyframe_slot, eviction_slot,
     insert_keyframe, make_ring, overlap_mask)
 from svo_pro_universal_tpu.ops import alignment as align_mod
 from svo_pro_universal_tpu.ops import depth_filter as df_mod
@@ -42,8 +42,6 @@ from svo_pro_universal_tpu.ops import matcher as matcher_mod
 from svo_pro_universal_tpu.ops import pose_optimizer as po_mod
 from svo_pro_universal_tpu.ops import sparse_img_align as sia_mod
 from svo_pro_universal_tpu.ops import structure_optimizer as so_mod
-from svo_pro_universal_tpu.ops.interp import FlatPyramid, pyr_bilinear, \
-    pyr_nearest
 from svo_pro_universal_tpu.ops.pyramid import build_pyramid, image_to_float
 from svo_pro_universal_tpu.utils.transform import SE3, se3_exp, se3_log
 
@@ -110,8 +108,9 @@ class FrameHandlerMono:
         # optional IMU (reference: FrameHandlerBase + ImuHandler wiring,
         # svo_factory.cpp:359-387 _set_imu_prior)
         self.imu = imu_handler
-        self._R_cam_body_np = np.asarray(
-            jax.device_get((self.T_cam_body.rotation_matrix())))
+        # lazy: a device→host read permanently degrades the axon tunnel's
+        # dispatch latency, so don't pay it unless the IMU path needs it
+        self._R_cam_body_np_cache: Optional[np.ndarray] = None
         self._last_ts: Optional[float] = None
 
         cap = cfg.capacity
@@ -191,12 +190,9 @@ class FrameHandlerMono:
                        .compose(last_frame.T_cam_world))
 
         # ---- 2. reproject map -----------------------------------------
-        ring_pyr = RingPyramid(ring.frames.pyramid)
-        cur_fp = FlatPyramid(cur_frame.pyramid)
-        cur_bil = lambda lvl, uv: pyr_bilinear(cur_fp, lvl, uv)  # noqa: E731
         ov = overlap_mask(ring, T_cur_world, cfg.reprojector.max_n_kfs)
         rep = repro_mod.reproject(
-            ring, ring_pyr, pool, T_cur_world, cur_bil, cam, ov,
+            ring, pool, T_cur_world, cur_frame.pyramid, cam, ov,
             jnp.zeros((self.n_cells,), bool), self.n_cols, self.n_rows,
             max_search_level=cfg.detector.max_level,
             opts=repro_mod.ReprojectorOptions(
@@ -295,16 +291,9 @@ class FrameHandlerMono:
                                   ring.frames.T_cam_world)
         T_cur_kf = T_cur_world.compose(T_kf_world.inverse())
 
-        def ring_bil(level, uv):
-            kf_b = jnp.broadcast_to(
-                kf_s.reshape(kf_s.shape + (1,) * (uv.ndim - 2)),
-                uv.shape[:-1])
-            return ring_pyr.bilinear(kf_b, level, uv)
-
-        cur_nn = lambda lvl, xi, yi: pyr_nearest(cur_fp, lvl, xi, yi)  # noqa
         mu_range = 1.0 / depth_scalars[1]
         upd = df_mod.update_seeds(
-            ring_bil, cur_bil, cur_nn, cam, cam, T_cur_kf,
+            ring.frames.pyramid, cur_frame.pyramid, cam, cam, T_cur_kf,
             rflat(ring.frames.px)[sidx], rflat(ring.frames.f)[sidx],
             rflat(ring.frames.grad)[sidx], rflat(ring.frames.level)[sidx],
             jnp.where(s_ok, r_ftype[sidx],
@@ -314,7 +303,8 @@ class FrameHandlerMono:
             sigma2_convergence_threshold=(
                 cfg.depth_filter.seed_convergence_sigma2_thresh),
             matcher_opts=matcher_mod.MatcherOptions(
-                max_epi_search_steps=self.cfg.capacity.epi_samples))
+                max_epi_search_steps=self.cfg.capacity.epi_samples),
+            ref_kf=kf_s)
         widx = jnp.where(s_ok, sidx, NC)
         new_seed_state = r_seed.at[widx].set(
             upd.seed_state, mode="drop").reshape(K, F, 4)
@@ -570,6 +560,13 @@ class FrameHandlerMono:
         roundtrip = jnp.linalg.norm(bwd.px - px_ref, axis=-1)
         ok = valid & fwd.converged & bwd.converged & (roundtrip < 1.0)
         return fwd.px, ok
+
+    @property
+    def _R_cam_body_np(self) -> np.ndarray:
+        if self._R_cam_body_np_cache is None:
+            self._R_cam_body_np_cache = np.asarray(
+                jax.device_get(self.T_cam_body.rotation_matrix()))
+        return self._R_cam_body_np_cache
 
     # ------------------------------------------------------------------
     # host state machine
@@ -851,6 +848,11 @@ class FrameHandlerVIO(FrameHandlerMono):
 
     def _process_tracking(self, img, timestamp: float) -> FrameResult:
         res = super()._process_tracking(img, timestamp)
+        # the backend runs on keyframes only; keep its latest result visible
+        # in every frame's stats (the reference's backend is asynchronous —
+        # its "current" state always reflects the last optimization)
+        if getattr(self, "_last_backend_chi2", None) is not None:
+            self.stats["backend_chi2"] = self._last_backend_chi2
         if res.is_keyframe and self.backend is not None:
             kf = self.last_frame
             lids = np.asarray(jax.device_get(kf.landmark_id))
@@ -869,6 +871,7 @@ class FrameHandlerVIO(FrameHandlerMono):
                     jnp.asarray(out.lm_slots_pool), out.lm_pos)
                 self.ring, self.pool, self.last_frame = ring, pool, frame
                 self.stats["backend_chi2"] = out.chi2
+                self._last_backend_chi2 = out.chi2
         return res
 
 

@@ -84,56 +84,3 @@ def closest_keyframe_slot(ring: KeyframeRing, T_cur_world: SE3) -> jax.Array:
     return jnp.argmin(d).astype(jnp.int32)
 
 
-class RingPyramid:
-    """Flattened stacked pyramid of the whole ring: gathers by
-    (kf slot, level, x, y) in one op (ring analogue of FlatPyramid)."""
-
-    def __init__(self, pyramids: tuple):
-        # pyramids: tuple over levels of [K, H_l, W_l]
-        k = pyramids[0].shape[0]
-        self.flat = jnp.concatenate(
-            [lvl.reshape(k, -1) for lvl in pyramids], axis=1)  # [K, total]
-        self.widths = jnp.array([l.shape[2] for l in pyramids], jnp.int32)
-        self.heights = jnp.array([l.shape[1] for l in pyramids], jnp.int32)
-        offs, o = [], 0
-        for lvl in pyramids:
-            offs.append(o)
-            o += lvl.shape[1] * lvl.shape[2]
-        self.offsets = jnp.array(offs, jnp.int32)
-
-    def tree_flatten(self):
-        return (self.flat, self.widths, self.heights, self.offsets), None
-
-    @classmethod
-    def tree_unflatten(cls, aux, children):
-        obj = cls.__new__(cls)
-        obj.flat, obj.widths, obj.heights, obj.offsets = children
-        return obj
-
-    def bilinear(self, kf: jax.Array, level: jax.Array, uv: jax.Array):
-        w = self.widths[level]
-        h = self.heights[level]
-        off = self.offsets[level]
-        u, v = uv[..., 0], uv[..., 1]
-        u0 = jnp.floor(u)
-        v0 = jnp.floor(v)
-        fu = u - u0
-        fv = v - v0
-        x0 = jnp.clip(u0.astype(jnp.int32), 0, w - 2)
-        y0 = jnp.clip(v0.astype(jnp.int32), 0, h - 2)
-        inb = (u >= 0) & (v >= 0) \
-            & (u <= (w - 1).astype(u.dtype) - 1e-6) \
-            & (v <= (h - 1).astype(v.dtype) - 1e-6)
-        base = off + y0 * w + x0
-        kfc = jnp.clip(kf, 0, self.flat.shape[0] - 1)
-        i00 = self.flat[kfc, base]
-        i01 = self.flat[kfc, base + 1]
-        i10 = self.flat[kfc, base + w]
-        i11 = self.flat[kfc, base + w + 1]
-        val = ((1 - fu) * (1 - fv) * i00 + fu * (1 - fv) * i01
-               + (1 - fu) * fv * i10 + fu * fv * i11)
-        return jnp.where(inb, val, 0.0), inb
-
-
-jax.tree_util.register_pytree_node(
-    RingPyramid, RingPyramid.tree_flatten, RingPyramid.tree_unflatten)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from svo_pro_universal_tpu.cameras import projections as proj
 from svo_pro_universal_tpu.common import types as ft
 from svo_pro_universal_tpu.common.point import LandmarkPool
-from svo_pro_universal_tpu.frontend.map import KeyframeRing, RingPyramid
+from svo_pro_universal_tpu.frontend.map import KeyframeRing
 from svo_pro_universal_tpu.ops import matcher as matcher_mod
 from svo_pro_universal_tpu.utils.transform import SE3
 
@@ -70,10 +70,9 @@ def _type_rank(ftype: jax.Array, has_landmark: jax.Array,
 
 def reproject(
     ring: KeyframeRing,
-    ring_pyr: RingPyramid,
     pool: LandmarkPool,
     T_cur_world: SE3,
-    cur_bilinear,
+    pyr_cur: jax.Array,            # padded [L, H, W] current pyramid
     cam: proj.Camera,
     overlap: jax.Array,            # [K] keyframe mask
     grid_occupied: jax.Array,      # [n_cells] cells already taken
@@ -174,19 +173,14 @@ def reproject(
     xyz_c = xyz_w[cidx]
     depth_ref = jnp.linalg.norm(xyz_c - T_world_kf_c.t, axis=-1)
 
-    def ref_bilinear(level, uv):
-        kf_b = jnp.broadcast_to(kf_c.reshape(kf_c.shape + (1,) * (
-            uv.ndim - 2)), uv.shape[:-1])
-        return ring_pyr.bilinear(kf_b, level, uv)
-
     mopts = matcher_opts or matcher_mod.MatcherOptions(
         affine_est_offset=opts.affine_est_offset,
         affine_est_gain=opts.affine_est_gain)
     match = matcher_mod.find_matches_direct(
-        ref_bilinear, cur_bilinear, cam, cam, T_cur_kf,
+        ring.frames.pyramid, pyr_cur, cam, cam, T_cur_kf,
         c_px[cidx], c_f[cidx], depth_ref, c_grad[cidx],
         ft.is_edgelet(c_type[cidx]), c_level[cidx],
-        px_init[cidx], c_ok, max_search_level, mopts)
+        px_init[cidx], c_ok, max_search_level, mopts, ref_kf=kf_c)
     matched = c_ok & match.success
 
     # ---- 4. compact to MAX_FTS slots ------------------------------------

@@ -19,8 +19,6 @@ import jax.numpy as jnp
 from svo_pro_universal_tpu.cameras import projections as proj
 from svo_pro_universal_tpu.common import types as ft
 from svo_pro_universal_tpu.ops import matcher as matcher_mod
-from svo_pro_universal_tpu.ops.interp import (
-    FlatPyramid, pyr_bilinear, pyr_nearest)
 from svo_pro_universal_tpu.utils.transform import SE3
 
 
@@ -38,8 +36,8 @@ class StereoMatches(NamedTuple):
 
 
 def triangulate_pair(
-    pyr0: tuple,
-    pyr1: tuple,
+    pyr0: jax.Array,         # padded [L, H, W]
+    pyr1: jax.Array,
     cam0: proj.Camera,
     cam1: proj.Camera,
     T_c1_c0: SE3,
@@ -53,13 +51,9 @@ def triangulate_pair(
 ) -> StereoMatches:
     """Batched left→right epipolar matching + metric triangulation
     (reference: stereo_triangulation.cpp:64-130)."""
-    fp0 = FlatPyramid(pyr0)
-    fp1 = FlatPyramid(pyr1)
     n = px0.shape[0]
     match = matcher_mod.find_epipolar_matches(
-        lambda lvl, uv: pyr_bilinear(fp0, lvl, uv),
-        lambda lvl, uv: pyr_bilinear(fp1, lvl, uv),
-        lambda lvl, xi, yi: pyr_nearest(fp1, lvl, xi, yi),
+        pyr0, pyr1,
         cam0, cam1, T_c1_c0, px0, f0, grad0,
         ft.is_edgelet(ftype0), level0,
         d_estimate_inv=jnp.full((n,), opts.mean_depth_inv),

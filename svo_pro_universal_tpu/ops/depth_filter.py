@@ -13,7 +13,7 @@ No thread, no mutex — the parallelism is the batch.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -119,9 +119,8 @@ class SeedUpdateResult(NamedTuple):
 
 
 def update_seeds(
-    ref_bilinear: Callable,
-    cur_bilinear: Callable,
-    cur_nearest: Callable,
+    pyr_ref: jax.Array,           # [L,H,W] or [K,L,H,W] (+ ref_kf)
+    pyr_cur: jax.Array,           # [L,H,W]
     cam_ref: proj.Camera,
     cam_cur: proj.Camera,
     T_cur_ref: SE3,
@@ -137,6 +136,7 @@ def update_seeds(
     use_vogiatzis: bool = True,
     check_convergence: bool = True,
     matcher_opts: matcher_mod.MatcherOptions = matcher_mod.MatcherOptions(),
+    ref_kf: jax.Array | None = None,
 ) -> SeedUpdateResult:
     """One batched DepthFilter::updateSeeds pass: all seeds of one ref
     keyframe against one current frame (reference: depth_filter.cpp:200-290 +
@@ -157,11 +157,11 @@ def update_seeds(
     active = active & vis
 
     match = matcher_mod.find_epipolar_matches(
-        ref_bilinear, cur_bilinear, cur_nearest, cam_ref, cam_cur,
+        pyr_ref, pyr_cur, cam_ref, cam_cur,
         T_cur_ref, px_ref, f_ref, grad_ref, ft.is_edgelet(ftype), level_ref,
         seed_state[:, 0], seed_mod.inv_min_depth(seed_state),
         seed_mod.inv_max_depth(seed_state), active, max_search_level,
-        matcher_opts)
+        matcher_opts, ref_kf=ref_kf)
 
     # px_error_angle for one pixel of noise (reference :384-385)
     px_noise = 1.0

@@ -253,8 +253,13 @@ def detect_cell_candidates(
     lo = (min_level + 1) if is_grad else min_level
     if sec_min_level is not None:
         lo = sec_min_level
+    padded = not isinstance(pyramid, (list, tuple))
     for level in range(lo, max_level + 1):
-        img = pyramid[level]
+        if padded:  # padded [L, H, W] array — slice the level's valid extent
+            from svo_pro_universal_tpu.ops.pyramid import level_view
+            img = level_view(pyramid, level)
+        else:
+            img = pyramid[level]
         h, w = img.shape
         scale = 1 << level
         if is_grad:

@@ -4,26 +4,29 @@ TPU-native replacement for the reference's Matcher
 (reference: src/svo_direct/src/matcher.cpp — findMatchDirect:31-141,
 findEpipolarMatchDirect:157-241, scanEpipolarUnitPlane:340-414,
 findLocalMatch:262-298, depthFromTriangulation:492-505; options
-matcher.h:28-150). The per-seed while-loop scan becomes a fixed-budget
-batched scan: K samples along every feature's epipolar segment are scored
-at once (ZMSSD against the affine-warped reference patch), then one fused
-subpixel alignment refines all winners.
+matcher.h:28-150). The per-seed while-loop scan becomes a dense tile scan:
+each feature cuts ONE axis-aligned tile around its (clamped) epipolar window
+from the current pyramid (ops.tiles.extract_tiles — the fast sliced-gather
+path), ZMSSD against the affine-warped reference patch is evaluated at EVERY
+integer position of the tile at once as a depthwise cross-correlation, and
+positions are masked to the epipolar segment. One fused subpixel alignment
+(in-tile bilinear einsums) refines all winners.
 
-Images are passed as sampler closures ``bilinear(level, uv) -> (val, inb)``
-and ``nearest(level, xi, yi) -> (val, inb)`` over a flattened pyramid
-(ops.interp.FlatPyramid), so the same code matches against a single frame or
-a stacked keyframe ring.
+Pyramids are padded [L, H, W] arrays (``ops.pyramid.build_pyramid``); the
+reference side may be a stacked keyframe ring [K, L, H, W] with a
+per-feature ``ref_kf`` index.
 """
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from svo_pro_universal_tpu.cameras import projections as proj
 from svo_pro_universal_tpu.ops import patch_warp as pw
+from svo_pro_universal_tpu.ops import tiles as tl
 from svo_pro_universal_tpu.utils.transform import SE3
 
 HALF_PATCH = 4
@@ -31,9 +34,13 @@ PATCH = 2 * HALF_PATCH                     # 8, reference kPatchSize
 PATCH_AREA = PATCH * PATCH
 ZMSSD_THRESHOLD_PER_PX = 2000.0            # reference PatchScore::threshold()
 
+REF_TILE = 24                              # ref-patch warp sampling tile
+ALIGN_TILE = 24                            # subpixel-alignment tile
+SCAN_TILE = 40                             # epipolar scan tile (window+patch)
+
 
 class MatcherOptions(NamedTuple):
-    max_epi_search_steps: int = 64         # fixed scan budget (static shape)
+    max_epi_search_steps: int = 64         # scan budget → window length (px)
     subpix_refinement: bool = True
     epi_search_edgelet_filtering: bool = True
     epi_search_edgelet_max_angle: float = 0.7
@@ -41,6 +48,7 @@ class MatcherOptions(NamedTuple):
     affine_est_offset: bool = True
     affine_est_gain: bool = False
     max_patch_diff_ratio: float = 2.0
+    scan_band_px: float = 0.76             # accept band around the segment
 
 
 class EpipolarMatch(NamedTuple):
@@ -53,7 +61,8 @@ class EpipolarMatch(NamedTuple):
 
 
 def warp_ref_patches_with_border(
-    ref_bilinear: Callable,
+    pyr_ref: jax.Array,         # [L, H, W] or [K, L, H, W]
+    ref_kf: jax.Array | None,   # [N] i32 ring slots (None → single frame)
     A_cur_ref: jax.Array,       # [N, 2, 2]
     px_ref: jax.Array,          # [N, 2] level-0
     level_ref: jax.Array,       # [N] i32
@@ -63,6 +72,9 @@ def warp_ref_patches_with_border(
 
     Mirrors warpAffine with halfpatch+1 (matcher.cpp:200-205) — patch pixel
     grid lives at `search_level` in cur; A_ref_cur maps into the ref level.
+    One 24×24 tile per feature bounds the warp support (best_search_level
+    keeps the warped radius ≲ 10px; larger warps are rejected by the
+    in-bounds mask, as the reference rejects patches leaving the image).
     """
     n = px_ref.shape[0]
     det = (A_cur_ref[:, 0, 0] * A_cur_ref[:, 1, 1]
@@ -79,15 +91,22 @@ def warp_ref_patches_with_border(
     ou, ov = jnp.meshgrid(r, r, indexing="xy")
     offs = jnp.stack([ou.ravel(), ov.ravel()], -1)             # [(P+2)², 2]
     scale_ref = (1 << level_ref).astype(px_ref.dtype)
-    uv = (jnp.einsum("nij,pj->npi", A_ref_cur, offs)
-          + (px_ref / scale_ref[:, None])[:, None, :])
-    vals, inb = ref_bilinear(level_ref[:, None], uv)
+    center = px_ref / scale_ref[:, None]                       # ref lvl coords
+    uv = jnp.einsum("nij,pj->npi", A_ref_cur, offs) + center[:, None, :]
+
+    cyx = jnp.stack([center[:, 1], center[:, 0]], -1)
+    if ref_kf is None:
+        tb = tl.extract_tiles(pyr_ref, level_ref, cyx, REF_TILE, REF_TILE)
+    else:
+        tb = tl.extract_tiles_ring(pyr_ref, ref_kf, level_ref, cyx,
+                                   REF_TILE, REF_TILE)
+    vals, inb = tl.tile_bilinear(tb, uv[..., 1], uv[..., 0])
     ok = jnp.all(inb, axis=-1) & (jnp.abs(det) > 1e-8)
     return vals, ok
 
 
 def _local_align(
-    cur_bilinear: Callable,
+    pyr_cur: jax.Array,            # [L, H, W]
     search_level: jax.Array,       # [N]
     border_patch: jax.Array,       # [N, (P+2)²]
     px_init_lvl: jax.Array,        # [N, 2] at search level
@@ -98,7 +117,9 @@ def _local_align(
 ) -> tuple[jax.Array, jax.Array]:
     """Unified batched align2D/align1D on per-feature pyramid levels
     (reference findLocalMatch matcher.cpp:262-298). 1D features move only
-    along `direction_lvl`; both cases share one 4-param GN."""
+    along `direction_lvl`; both cases share one 4-param GN. All sampling
+    happens inside one 24×24 tile per feature — motion beyond the tile means
+    divergence and is rejected, like the reference's border check."""
     n = border_patch.shape[0]
     dt = px_init_lvl.dtype
     b = border_patch.reshape(n, PATCH + 2, PATCH + 2)
@@ -120,22 +141,25 @@ def _local_align(
         -ref if opts.affine_est_gain else zeros,
     ], axis=-1)
     H = jnp.einsum("npi,npj->nij", jac, jac)
-    H = H + 1e-8 * jnp.eye(4, dtype=dt)
     # disabled blocks → identity entries so H stays invertible
     H = H.at[:, 1, 1].add(use_1d.astype(dt))
     if not opts.affine_est_offset:
         H = H.at[:, 2, 2].add(1.0)
     if not opts.affine_est_gain:
         H = H.at[:, 3, 3].add(1.0)
-    Hinv = jnp.linalg.inv(H)
 
     from svo_pro_universal_tpu.ops.interp import patch_offsets
     offs = patch_offsets(PATCH, dt)
 
+    tb = tl.extract_tiles(
+        pyr_cur, search_level,
+        jnp.stack([px_init_lvl[:, 1], px_init_lvl[:, 0]], -1),
+        ALIGN_TILE, ALIGN_TILE)
+
     def body(_, carry):
         uv, mean_diff, alpha, done = carry
         pos = uv[:, None, :] + offs[None]
-        cur, inb = cur_bilinear(search_level[:, None], pos)
+        cur, inb = tl.tile_bilinear(tb, pos[..., 1], pos[..., 0])
         ok = jnp.all(inb, axis=-1) & valid
         res = cur - alpha[:, None] * ref + mean_diff[:, None]
         jres = -jnp.einsum("np,npi->ni", res, jac)
@@ -143,7 +167,7 @@ def _local_align(
             jres = jres.at[:, 2].set(0.0)
         if not opts.affine_est_gain:
             jres = jres.at[:, 3].set(0.0)
-        upd = jnp.einsum("nij,nj->ni", Hinv, jres)
+        upd = tl.solve_psd_small(H, jres, damping=1e-8)
         apply = (ok & ~done)[:, None]
         duv = upd[:, 0:1] * e1 + upd[:, 1:2] * e2
         uv = uv + jnp.where(apply, duv, 0.0)
@@ -157,7 +181,7 @@ def _local_align(
             jnp.zeros((n,), bool))
     uv, _, _, _ = jax.lax.fori_loop(0, opts.align_max_iter, body, init)
     pos = uv[:, None, :] + offs[None]
-    _, inb = cur_bilinear(search_level[:, None], pos)
+    _, inb = tl.tile_bilinear(tb, pos[..., 1], pos[..., 0])
     conv = jnp.all(inb, axis=-1) & valid & jnp.all(jnp.isfinite(uv), axis=-1)
     return uv, conv
 
@@ -182,9 +206,8 @@ def depth_from_triangulation(T_cur_ref: SE3, f_ref: jax.Array,
 
 
 def find_epipolar_matches(
-    ref_bilinear: Callable,
-    cur_bilinear: Callable,
-    cur_nearest: Callable,
+    pyr_ref: jax.Array,            # [L,H,W] or [K,L,H,W] (+ ref_kf)
+    pyr_cur: jax.Array,            # [L,H,W]
     cam_ref: proj.Camera,
     cam_cur: proj.Camera,
     T_cur_ref: SE3,                # scalar or [N]-batched
@@ -199,8 +222,15 @@ def find_epipolar_matches(
     valid: jax.Array,              # [N] bool
     max_search_level: int,
     opts: MatcherOptions = MatcherOptions(),
+    ref_kf: jax.Array | None = None,
 ) -> EpipolarMatch:
-    """Batched findEpipolarMatchDirect (matcher.cpp:157-241)."""
+    """Batched findEpipolarMatchDirect (matcher.cpp:157-241).
+
+    The reference walks the epipolar line with a data-dependent while loop;
+    here every integer patch position inside a fixed tile around the
+    (budget-clamped) epipolar window is scored at once and masked to a band
+    around the segment — same coverage, one dense program.
+    """
     n = px_ref.shape[0]
     dt = px_ref.dtype
     Rf = T_cur_ref.rotate(f_ref)
@@ -217,7 +247,8 @@ def find_epipolar_matches(
         cam_ref, cam_cur, px_ref, f_ref,
         1.0 / jnp.maximum(d_estimate_inv, 1e-6), T_cur_ref, level_ref)
     search_level = pw.best_search_level(A_cur_ref, max_search_level)
-    epi_len_pyr = epi_len0 / (1 << search_level).astype(dt)
+    scale = (1 << search_level).astype(dt)
+    epi_len_pyr = epi_len0 / scale
     epi_dir = epi_image / jnp.maximum(epi_len0, 1e-8)[:, None]
 
     # edgelet pre-filter (matcher.cpp:183-194)
@@ -230,45 +261,71 @@ def find_epipolar_matches(
     valid = valid & ~rejected
 
     border_patch, warp_ok = warp_ref_patches_with_border(
-        ref_bilinear, A_cur_ref, px_ref, level_ref, search_level)
+        pyr_ref, ref_kf, A_cur_ref, px_ref, level_ref, search_level)
     bp = border_patch.reshape(n, PATCH + 2, PATCH + 2)
     ref_patch = bp[:, 1:-1, 1:-1].reshape(n, PATCH_AREA)
     valid = valid & warp_ok
 
-    # --- fixed-budget scan along the unit-plane segment B→A -------------
-    K = opts.max_epi_search_steps
+    # --- window along the unit-plane segment B→A, clamped to the budget ---
     uv_A = A_b[:, 0:2] / A_b[:, 2:3]
     uv_B = B_b[:, 0:2] / B_b[:, 2:3]
     uv_C = C_b[:, 0:2] / C_b[:, 2:3]
     seg = uv_A - uv_B
     seg_len2 = jnp.maximum(jnp.sum(seg * seg, -1), 1e-16)
     t_C = jnp.clip(jnp.sum((uv_C - uv_B) * seg, -1) / seg_len2, 0.0, 1.0)
-    n_steps = epi_len_pyr / 0.7
     # window (in t units) centered on the depth-estimate point when the
-    # full line needs more steps than the budget (matcher.cpp:351-361)
-    halfw = jnp.minimum(0.5 * K / jnp.maximum(n_steps, 1.0), 0.5)
+    # full line exceeds the scan budget (matcher.cpp:351-361); budget here
+    # is the tile extent at the search level
+    budget_px = jnp.asarray(min(opts.max_epi_search_steps * 0.7,
+                                SCAN_TILE - PATCH - 2), dt)
+    halfw = jnp.minimum(0.5 * budget_px / jnp.maximum(epi_len_pyr, 1.0), 0.5)
     t_lo = jnp.clip(t_C - halfw, 0.0, 1.0 - 2.0 * halfw)
-    ts = t_lo[:, None] + (jnp.arange(K, dtype=dt) / (K - 1))[None] \
-        * 2.0 * halfw[:, None]
-    uv_s = uv_B[:, None, :] + ts[..., None] * seg[:, None, :]   # [N,K,2]
-    ones = jnp.ones(uv_s.shape[:-1] + (1,), dt)
-    px_s, _ = proj.project(cam_cur, jnp.concatenate([uv_s, ones], -1))
-    scale_s = (1 << search_level).astype(dt)[:, None, None]
-    pxi = jnp.floor(px_s / scale_s + 0.5).astype(jnp.int32)     # [N,K,2]
+    t_hi = t_lo + 2.0 * halfw
+    ones1 = jnp.ones((n, 1), dt)
+    px_W0, _ = proj.project(cam_cur, jnp.concatenate(
+        [uv_B + t_lo[:, None] * seg, ones1], -1))
+    px_W1, _ = proj.project(cam_cur, jnp.concatenate(
+        [uv_B + t_hi[:, None] * seg, ones1], -1))
+    w0 = px_W0 / scale[:, None]           # window endpoints, level coords
+    w1 = px_W1 / scale[:, None]
+    mid = 0.5 * (w0 + w1)
 
-    # extract 8×8 integer patches at all K candidates (one gather)
-    rr = jnp.arange(PATCH, dtype=jnp.int32) - HALF_PATCH
-    oy, ox = jnp.meshgrid(rr, rr, indexing="ij")
-    cx = pxi[..., 0:1] + ox.ravel()[None, None, :]               # [N,K,P²]
-    cy = pxi[..., 1:2] + oy.ravel()[None, None, :]
-    cand, inb = cur_nearest(search_level[:, None, None], cx, cy)
-    cand_ok = jnp.all(inb, axis=-1)
-    score = pw.zmssd(ref_patch[:, None, :], cand)                # [N,K]
-    score = jnp.where(cand_ok, score, jnp.inf)
-    best_k = jnp.argmin(score, axis=-1)
-    zmssd_best = jnp.take_along_axis(score, best_k[:, None], 1)[:, 0]
-    px_best = jnp.take_along_axis(
-        px_s, best_k[:, None, None], 1)[:, 0, :]                 # level 0
+    # --- dense ZMSSD over the scan tile, masked to the epipolar band -----
+    tb = tl.extract_tiles(pyr_cur, search_level,
+                          jnp.stack([mid[:, 1], mid[:, 0]], -1),
+                          SCAN_TILE, SCAN_TILE)
+    score_map, pos_ok = tl.zmssd_score_map(tb, ref_patch, PATCH)
+    SP = SCAN_TILE - PATCH + 1
+    # candidate feature positions in level coords: the ref patch covers
+    # offsets [-HALF_PATCH, HALF_PATCH) around the feature (patch_offsets),
+    # so a patch at tile top-left (v, u) puts the feature at +HALF_PATCH
+    cyy = (tb.y0[:, None, None].astype(dt) + float(HALF_PATCH)
+           + jax.lax.broadcasted_iota(jnp.int32, (n, SP, SP), 1).astype(dt))
+    cxx = (tb.x0[:, None, None].astype(dt) + float(HALF_PATCH)
+           + jax.lax.broadcasted_iota(jnp.int32, (n, SP, SP), 2).astype(dt))
+    # distance to the window segment w0→w1 + projection parameter
+    d01 = w1 - w0
+    d01_len2 = jnp.maximum(jnp.sum(d01 * d01, -1), 1e-12)[:, None, None]
+    rx = cxx - w0[:, 0, None, None]
+    ry = cyy - w0[:, 1, None, None]
+    t_par = (rx * d01[:, 0, None, None] + ry * d01[:, 1, None, None]) \
+        / d01_len2
+    t_cl = jnp.clip(t_par, 0.0, 1.0)
+    dx_ = rx - t_cl * d01[:, 0, None, None]
+    dy_ = ry - t_cl * d01[:, 1, None, None]
+    dist2 = dx_ * dx_ + dy_ * dy_
+    band = opts.scan_band_px
+    on_line = (dist2 <= band * band) & (t_par >= -0.02) & (t_par <= 1.02)
+    score = jnp.where(pos_ok & on_line, score_map, jnp.inf)
+    score_flat = score.reshape(n, SP * SP)
+    best = jnp.argmin(score_flat, axis=-1)
+    zmssd_best = jnp.take_along_axis(score_flat, best[:, None], 1)[:, 0]
+    by = best // SP
+    bx = best - by * SP
+    px_best_lvl = jnp.stack([
+        tb.x0.astype(dt) + bx.astype(dt) + float(HALF_PATCH),
+        tb.y0.astype(dt) + by.astype(dt) + float(HALF_PATCH)], -1)
+    px_best = px_best_lvl * scale[:, None]
 
     # short line → skip scan, start local search at the midpoint
     short = epi_len_pyr < 2.0
@@ -277,10 +334,9 @@ def find_epipolar_matches(
 
     # --- subpixel refinement at search level -----------------------------
     if opts.subpix_refinement:
-        scale = (1 << search_level).astype(dt)
         px_ref_lvl = px_init / scale[:, None]
         uv_ref, conv = _local_align(
-            cur_bilinear, search_level, border_patch, px_ref_lvl,
+            pyr_cur, search_level, border_patch, px_ref_lvl,
             epi_dir, is_edgelet, opts, valid & score_ok)
         px_cur = uv_ref * scale[:, None]
         align_ok = conv
@@ -302,8 +358,8 @@ class DirectMatch(NamedTuple):
 
 
 def find_matches_direct(
-    ref_bilinear: Callable,
-    cur_bilinear: Callable,
+    pyr_ref: jax.Array,             # [L,H,W] or [K,L,H,W] (+ ref_kf)
+    pyr_cur: jax.Array,             # [L,H,W]
     cam_ref: proj.Camera,
     cam_cur: proj.Camera,
     T_cur_ref: SE3,                 # [N]-batched (per-feature ref KFs)
@@ -317,6 +373,7 @@ def find_matches_direct(
     valid: jax.Array,
     max_search_level: int,
     opts: MatcherOptions = MatcherOptions(),
+    ref_kf: jax.Array | None = None,
 ) -> DirectMatch:
     """Batched findMatchDirect for landmark reprojection
     (reference: matcher.cpp:31-141): affine warp from the feature's ref
@@ -325,7 +382,7 @@ def find_matches_direct(
         cam_ref, cam_cur, px_ref, f_ref, depth_ref, T_cur_ref, level_ref)
     search_level = pw.best_search_level(A_cur_ref, max_search_level)
     border_patch, warp_ok = warp_ref_patches_with_border(
-        ref_bilinear, A_cur_ref, px_ref, level_ref, search_level)
+        pyr_ref, ref_kf, A_cur_ref, px_ref, level_ref, search_level)
     valid = valid & warp_ok
 
     # edgelet direction in cur: warped gradient (matcher.cpp:104-117)
@@ -339,6 +396,6 @@ def find_matches_direct(
     dt = px_ref.dtype
     scale = (1 << search_level).astype(dt)
     uv, conv = _local_align(
-        cur_bilinear, search_level, border_patch,
+        pyr_cur, search_level, border_patch,
         px_cur_init / scale[:, None], dir_search, is_edgelet, opts, valid)
     return DirectMatch(uv * scale[:, None], search_level, conv & valid)

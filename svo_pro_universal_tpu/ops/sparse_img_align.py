@@ -16,9 +16,13 @@ intended accelerator kernel. State and math follow sparse_img_align_base.h:
 - update: ``T ← T·exp(−dx[:6])``, ``alpha ← (alpha−dx6)/(1+dx6)``,
   ``beta ← (beta−dx7)/(1+dx6)``; coarse-to-fine over levels.
 
-Here every per-feature/per-pixel loop is one batched array program; the GN
-iterations run in a `lax.while_loop` with masked convergence so the whole
-multi-level solve is a single XLA computation per frame.
+Sampling strategy (the TPU-specific part): per level, each feature cuts ONE
+axis-aligned tile around its projected position from the current pyramid
+(ops.tiles — the fast sliced-gather path); every GN iteration then samples
+its 4×4 patch *inside* the tile as batched bilinear-form einsums, so the
+sequential iterations contain no scattered gathers at all. Features whose
+motion leaves the tile margin are masked for the level, exactly like the
+reference's image-border visibility check.
 """
 
 from __future__ import annotations
@@ -29,9 +33,12 @@ import jax
 import jax.numpy as jnp
 
 from svo_pro_universal_tpu.cameras import projections as proj
-from svo_pro_universal_tpu.ops.interp import bilinear
+from svo_pro_universal_tpu.ops import tiles as tl
 from svo_pro_universal_tpu.utils.transform import (
     SE3, quat_to_matrix, se3_exp, se3_log, skew)
+
+CUR_TILE = 24     # per-feature current-image tile (patch 4 + ~±9px margin)
+REF_TILE = 12     # reference patch-with-border tile
 
 
 class SparseImgAlignOptions(NamedTuple):
@@ -49,8 +56,8 @@ class SparseImgAlignOptions(NamedTuple):
 
 class CameraInput(NamedTuple):
     """Per-camera alignment inputs (mono = a 1-element list of these)."""
-    pyr_ref: tuple            # ref image pyramid
-    pyr_cur: tuple            # cur image pyramid
+    pyr_ref: jax.Array        # padded [L, H, W] ref pyramid
+    pyr_cur: jax.Array        # padded [L, H, W] cur pyramid
     px_ref: jax.Array         # [N, 2] feature px (level 0)
     f_ref: jax.Array          # [N, 3] unit bearings
     depth_ref: jax.Array      # [N] distance along bearing (norm, not z)
@@ -113,21 +120,26 @@ def precompute_level(inp: CameraInput, level: int, patch_size: int,
 
     Returns (ref_patch [N,P²], jac [N,P²,8], ok_ref [N]).
     """
-    img = inp.pyr_ref[level]
+    n = inp.px_ref.shape[0]
     scale = 1.0 / (1 << level)
     pwb = patch_size + 2
     center_wb = (pwb - 1) / 2.0
     offs = jnp.arange(pwb, dtype=inp.px_ref.dtype) - center_wb
     ou, ov = jnp.meshgrid(offs, offs, indexing="xy")
-    uv = (inp.px_ref[:, None, None, :] * scale
-          + jnp.stack([ou, ov], -1)[None])                 # [N,pwb,pwb,2]
-    patch_wb, inb = bilinear(img, uv)
-    ok = jnp.all(inb.reshape(inb.shape[0], -1), axis=-1)
+    center = inp.px_ref * scale                            # level coords
+    uv = center[:, None, None, :] + jnp.stack([ou, ov], -1)[None]
+    lvl = jnp.full((n,), level, jnp.int32)
+    tb = tl.extract_tiles(inp.pyr_ref, lvl,
+                          jnp.stack([center[:, 1], center[:, 0]], -1),
+                          REF_TILE, REF_TILE)
+    flat = uv.reshape(n, pwb * pwb, 2)
+    vals, inb = tl.tile_bilinear(tb, flat[..., 1], flat[..., 0])
+    patch_wb = vals.reshape(n, pwb, pwb)
+    ok = jnp.all(inb, axis=-1)
 
     val = patch_wb[:, 1:-1, 1:-1]
     dx = 0.5 * (patch_wb[:, 1:-1, 2:] - patch_wb[:, 1:-1, :-2])
     dy = 0.5 * (patch_wb[:, 2:, 1:-1] - patch_wb[:, :-2, 1:-1])
-    n = val.shape[0]
     area = patch_size * patch_size
     val = val.reshape(n, area)
     dx = dx.reshape(n, area)
@@ -142,26 +154,39 @@ def precompute_level(inp: CameraInput, level: int, patch_size: int,
     return val, jac, ok
 
 
-def compute_residuals(inp: CameraInput, xyz_ref: jax.Array,
+def extract_cur_tiles(inp: CameraInput, xyz_ref: jax.Array, T_cur_ref: SE3,
+                      level: int) -> tl.TileBatch:
+    """Per-level tile cache around the currently-projected feature positions
+    (re-centered once per level, coarse-to-fine)."""
+    n = xyz_ref.shape[0]
+    scale = 1.0 / (1 << level)
+    xyz_cur = T_cur_ref.apply(xyz_ref)
+    uv_cur, _ = proj.project(inp.cam, xyz_cur)
+    c = uv_cur * scale
+    lvl = jnp.full((n,), level, jnp.int32)
+    return tl.extract_tiles(inp.pyr_cur, lvl,
+                            jnp.stack([c[:, 1], c[:, 0]], -1),
+                            CUR_TILE, CUR_TILE)
+
+
+def compute_residuals(inp: CameraInput, tb: tl.TileBatch, xyz_ref: jax.Array,
                       ref_patch: jax.Array, T_cur_ref: SE3,
                       alpha: jax.Array, beta: jax.Array, level: int,
                       patch_size: int) -> tuple[jax.Array, jax.Array]:
     """(res [N,P²], visible [N]) (reference: computeResidualsOfFrame
-    :405-498)."""
-    img = inp.pyr_cur[level]
+    :405-498) — sampled inside the level's tile cache."""
     scale = 1.0 / (1 << level)
     xyz_cur = T_cur_ref.apply(xyz_ref)
     uv_cur, _ = proj.project(inp.cam, xyz_cur)
     center = (patch_size - 1) / 2.0
     offs = jnp.arange(patch_size, dtype=uv_cur.dtype) - center
     ou, ov = jnp.meshgrid(offs, offs, indexing="xy")
-    pos = uv_cur[:, None, None, :] * scale + jnp.stack([ou, ov], -1)[None]
-    cur, inb = bilinear(img, pos)
-    n = cur.shape[0]
+    n = uv_cur.shape[0]
     area = patch_size * patch_size
-    cur = cur.reshape(n, area)
-    visible = (jnp.all(inb.reshape(n, -1), axis=-1)
-               & (xyz_cur[:, 2] > 0.0))
+    pos = (uv_cur[:, None, :] * scale
+           + jnp.stack([ou.ravel(), ov.ravel()], -1)[None])   # [N,P²,2]
+    cur, inb = tl.tile_bilinear(tb, pos[..., 1], pos[..., 0])
+    visible = (jnp.all(inb, axis=-1) & (xyz_cur[:, 2] > 0.0))
     res = cur * (1.0 + alpha) + beta - ref_patch
     return res, visible
 
@@ -204,19 +229,23 @@ def run(
             ref_patch, jac, ok = precompute_level(
                 inp, level, opts.patch_size, J_proj,
                 opts.estimate_alpha, opts.estimate_beta)
-            caches.append((xyz_ref, ref_patch, jac, ok & inp.valid))
+            T_cur_ref0 = (inp.T_cam_body.compose(state.T_icur_iref)
+                          .compose(inp.T_cam_body.inverse()))
+            tb = extract_cur_tiles(inp, xyz_ref, T_cur_ref0, level)
+            caches.append((xyz_ref, ref_patch, jac, ok & inp.valid, tb))
 
         def evaluate(st: AlignState):
             H = jnp.zeros((8, 8), jnp.float32)
             g = jnp.zeros((8,), jnp.float32)
             c2 = jnp.asarray(0.0, jnp.float32)
             nm = jnp.asarray(0, jnp.int32)
-            for inp, (xyz_ref, ref_patch, jac, ok) in zip(inputs, caches):
+            for inp, (xyz_ref, ref_patch, jac, ok, tb) in zip(inputs,
+                                                              caches):
                 T_cur_ref = (inp.T_cam_body.compose(st.T_icur_iref)
                              .compose(inp.T_cam_body.inverse()))
                 res, vis = compute_residuals(
-                    inp, xyz_ref, ref_patch, T_cur_ref, st.alpha, st.beta,
-                    level, opts.patch_size)
+                    inp, tb, xyz_ref, ref_patch, T_cur_ref, st.alpha,
+                    st.beta, level, opts.patch_size)
                 w = (vis & ok).astype(jnp.float32)[:, None]
                 rw = res * w
                 H = H + jnp.einsum("npi,npj->ij", jac * w[..., None], jac)
@@ -255,20 +284,22 @@ def run(
                 c2 = c2 + jnp.sum(lam * e8 * e8)  # keep-best sees the prior
             return H, g, c2, nm
 
-        # LM-damped GN with keep-best (reference mini solver, mu0 = 0.1)
+        # LM-damped GN with keep-best: ONE evaluate per iteration — the
+        # normal system of an accepted candidate doubles as the next
+        # iteration's linearization (reference mini solver, mu0 = 0.1)
         def cond(carry):
-            _, _, _, _, it, done = carry
+            _, _, _, _, _, it, done = carry
             return (it < opts.max_iter) & (~done)
 
         def body(carry):
-            st, best_chi2, best_st, mu, it, _ = carry
-            H, g, c2, _ = evaluate(st)
+            st, Hg, best_chi2, best_st, mu, it, _ = carry
+            H, g = Hg
             diag = jnp.diagonal(H)
             Hd = H + jnp.diag(mu * diag + 1e-8)
             dx = jnp.linalg.solve(Hd, g)
             dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
             cand = _state_update(st, dx)
-            _, _, c2_new, _ = evaluate(cand)
+            H_new, g_new, c2_new, _ = evaluate(cand)
             improved = c2_new < best_chi2
             best_st = jax.tree.map(
                 lambda a, b: jnp.where(improved, a, b), cand, best_st)
@@ -276,13 +307,16 @@ def run(
             mu = jnp.where(improved, mu * 0.5, mu * 4.0)
             st = jax.tree.map(lambda a, b: jnp.where(improved, a, b),
                               cand, st)
+            Hg = jax.tree.map(lambda a, b: jnp.where(improved, a, b),
+                              (H_new, g_new), (H, g))
             done = jnp.sum(dx[:6] ** 2) < opts.min_update_squared
-            return st, best_chi2, best_st, mu, it + 1, done
+            return st, Hg, best_chi2, best_st, mu, it + 1, done
 
-        _, _, chi0, n_tracked = evaluate(state)
-        init = (state, chi0, state, jnp.asarray(0.1, jnp.float32),
+        H0, g0, chi0, n_tracked = evaluate(state)
+        init = (state, (H0, g0), chi0, state,
+                jnp.asarray(0.1, jnp.float32),
                 jnp.asarray(0, jnp.int32), jnp.asarray(False))
-        _, chi2, state, _, iters, _ = jax.lax.while_loop(cond, body, init)
+        _, _, chi2, state, _, iters, _ = jax.lax.while_loop(cond, body, init)
         total_iters = total_iters + iters
 
     return state, AlignStats(chi2, n_tracked, total_iters)

@@ -27,8 +27,6 @@ from svo_pro_universal_tpu.cameras import projections as proj
 from svo_pro_universal_tpu.ops import depth_filter as df_mod
 from svo_pro_universal_tpu.ops import matcher as matcher_mod
 from svo_pro_universal_tpu.ops import sparse_img_align as sia
-from svo_pro_universal_tpu.ops.interp import (
-    FlatPyramid, pyr_bilinear, pyr_nearest)
 from svo_pro_universal_tpu.parallel.mesh import FEATURE_AXIS
 from svo_pro_universal_tpu.utils.transform import SE3
 
@@ -43,8 +41,8 @@ def distributed_align(
     rep = P()
     shard = P(FEATURE_AXIS)
     in_spec = sia.CameraInput(
-        pyr_ref=tuple(rep for _ in inp.pyr_ref),
-        pyr_cur=tuple(rep for _ in inp.pyr_cur),
+        pyr_ref=rep,
+        pyr_cur=rep,
         px_ref=shard, f_ref=shard, depth_ref=shard, valid=shard,
         T_cam_body=SE3(rep, rep),
         cam=jax.tree.map(lambda _: rep, inp.cam),
@@ -61,8 +59,8 @@ def distributed_align(
 
 
 def distributed_seed_update(
-    ring_pyramid: tuple,          # anchor pyramid (single ref frame)
-    cur_pyramid: tuple,
+    ring_pyramid: jax.Array,      # padded [L,H,W] anchor pyramid
+    cur_pyramid: jax.Array,
     cam: proj.Camera,
     T_cur_ref: SE3,
     px_ref: jax.Array,
@@ -81,7 +79,7 @@ def distributed_seed_update(
     rep = P()
     shard = P(FEATURE_AXIS)
     in_specs = (
-        tuple(rep for _ in ring_pyramid), tuple(rep for _ in cur_pyramid),
+        rep, rep,
         jax.tree.map(lambda _: rep, cam), SE3(rep, rep),
         shard, shard, shard, shard, shard, shard, rep)
     out_specs = df_mod.SeedUpdateResult(shard, shard, rep, rep)
@@ -90,12 +88,8 @@ def distributed_seed_update(
              out_specs=out_specs, check_vma=False)
     def step(pyr_ref, pyr_cur, cam_, T, px, f, grad, lvl, ftp, seeds,
              mu_range):
-        ref_fp = FlatPyramid(pyr_ref)
-        cur_fp = FlatPyramid(pyr_cur)
         res = df_mod.update_seeds(
-            lambda l, uv: pyr_bilinear(ref_fp, l, uv),
-            lambda l, uv: pyr_bilinear(cur_fp, l, uv),
-            lambda l, xi, yi: pyr_nearest(cur_fp, l, xi, yi),
+            pyr_ref, pyr_cur,
             cam_, cam_, T, px, f, grad, lvl, ftp, seeds, mu_range,
             max_search_level=max_search_level,
             sigma2_convergence_threshold=sigma2_convergence_threshold,

@@ -42,7 +42,8 @@ def test_seed_init_and_convergence():
 
 
 def test_frame_roundtrip_pytree(rng):
-    pyr = [jnp.zeros((64 >> l, 80 >> l), jnp.float32) for l in range(3)]
+    from svo_pro_universal_tpu.ops.pyramid import build_pyramid
+    pyr = build_pyramid(jnp.zeros((64, 80), jnp.float32), 3)
     fr = frame_mod.make_empty_frame(pyr, max_fts=32)
     assert int(fr.num_valid()) == 0
     leaves = jax.tree.leaves(fr)

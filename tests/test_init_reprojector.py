@@ -11,8 +11,7 @@ from svo_pro_universal_tpu.common.point import add_observations, allocate, make_
 from svo_pro_universal_tpu.frontend import initialization as init
 from svo_pro_universal_tpu.frontend import reprojector as repro
 from svo_pro_universal_tpu.frontend.map import (
-    RingPyramid, insert_keyframe, make_ring, overlap_mask)
-from svo_pro_universal_tpu.ops.interp import FlatPyramid, pyr_bilinear
+    insert_keyframe, make_ring, overlap_mask)
 from svo_pro_universal_tpu.ops.pyramid import build_pyramid
 from svo_pro_universal_tpu.utils.transform import SE3, se3_exp, se3_log
 
@@ -124,15 +123,12 @@ def test_reprojector_matches_landmarks():
     T_cur_world = se3_exp(jnp.array([0.05, -0.03, 0.04, 0.01, -0.01, 0.02]))
     img_cur = render_plane_view(img_ref, T_cur_world)
     pyr_cur = build_pyramid(img_cur, 4)
-    fp = FlatPyramid(pyr_cur)
-    ring_pyr = RingPyramid(ring.frames.pyramid)
 
     cs = 30
     n_cols = -(-CAM.width // cs)
     n_rows = -(-CAM.height // cs)
     res = repro.reproject(
-        ring, ring_pyr, pool, T_cur_world,
-        lambda lvl, uv: pyr_bilinear(fp, lvl, uv),
+        ring, pool, T_cur_world, pyr_cur,
         CAM, overlap_mask(ring, T_cur_world, 5),
         jnp.zeros((n_cols * n_rows,), bool), n_cols, n_rows,
         max_search_level=2,

@@ -8,19 +8,11 @@ from svo_pro_universal_tpu.common import seed as seed_mod
 from svo_pro_universal_tpu.common.types import FeatureType
 from svo_pro_universal_tpu.ops import depth_filter as df
 from svo_pro_universal_tpu.ops import matcher as m
-from svo_pro_universal_tpu.ops.interp import (
-    FlatPyramid, pyr_bilinear, pyr_nearest)
 from svo_pro_universal_tpu.ops.pyramid import build_pyramid
 from svo_pro_universal_tpu.utils.transform import SE3, se3_exp
 
 from synthetic_utils import (
     CAM, PLANE_Z, grid_features, render_plane_view, textured_image)
-
-
-def samplers(pyr):
-    fp = FlatPyramid(pyr)
-    return (lambda lvl, uv: pyr_bilinear(fp, lvl, uv),
-            lambda lvl, xi, yi: pyr_nearest(fp, lvl, xi, yi))
 
 
 def test_depth_from_triangulation_exact():
@@ -89,16 +81,14 @@ def _match_setup(twist, d_bracket=(0.8, 4.0), n_grid=8):
     pyr_cur = build_pyramid(img_cur, 4)
     px, f, depth = grid_features(n_grid=n_grid)
     n = px.shape[0]
-    ref_b, _ = samplers(pyr_ref)
-    cur_b, cur_n = samplers(pyr_cur)
-    return (img_ref, T_cur_ref, px, f, depth, n, ref_b, cur_b, cur_n)
+    return (img_ref, T_cur_ref, px, f, depth, n, pyr_ref, pyr_cur)
 
 
 def test_epipolar_match_recovers_depth():
     (img_ref, T_cur_ref, px, f, depth, n,
-     ref_b, cur_b, cur_n) = _match_setup([0.15, 0.0, 0.0, 0.0, 0.0, 0.0])
+     pyr_ref, pyr_cur) = _match_setup([0.15, 0.0, 0.0, 0.0, 0.0, 0.0])
     match = m.find_epipolar_matches(
-        ref_b, cur_b, cur_n, CAM, CAM, T_cur_ref,
+        pyr_ref, pyr_cur, CAM, CAM, T_cur_ref,
         px, f, jnp.zeros((n, 2)), jnp.zeros((n,), bool),
         jnp.zeros((n,), jnp.int32),
         d_estimate_inv=jnp.full((n,), 1.0 / 3.0),   # wrong initial estimate
@@ -116,7 +106,6 @@ def test_update_seeds_converges_to_true_depth():
     pyr_ref = build_pyramid(img_ref, 4)
     px, f, depth_true = grid_features(n_grid=8)
     n = px.shape[0]
-    ref_b, _ = samplers(pyr_ref)
 
     depth_min, depth_mean = 0.5, 4.0     # poor initialization
     state = seed_mod.make(jnp.full((n,), depth_mean), jnp.full((n,), depth_min))
@@ -128,9 +117,9 @@ def test_update_seeds_converges_to_true_depth():
     for bx, by in baselines:
         T_cur_ref = se3_exp(jnp.asarray([bx, by, 0, 0, 0, 0], jnp.float32))
         img_cur = render_plane_view(img_ref, T_cur_ref)
-        cur_b, cur_n = samplers(build_pyramid(img_cur, 4))
+        pyr_cur = build_pyramid(img_cur, 4)
         res = df.update_seeds(
-            ref_b, cur_b, cur_n, CAM, CAM, T_cur_ref,
+            pyr_ref, pyr_cur, CAM, CAM, T_cur_ref,
             px, f, jnp.zeros((n, 2)), jnp.zeros((n,), jnp.int32),
             ftype, state, mu_range, max_search_level=2,
             sigma2_convergence_threshold=30.0)
