@@ -43,7 +43,15 @@ class GlobalMapOptions(NamedTuple):
 
 class GlobalMap:
     def __init__(self, cam_focal, T_cam_body: SE3,
-                 opts: GlobalMapOptions = GlobalMapOptions()):
+                 opts: GlobalMapOptions = GlobalMapOptions(),
+                 mesh=None, mesh_axes: tuple[str, ...] | None = None):
+        """With `mesh` (+ `mesh_axes`, e.g. (HOST_AXIS, FEATURE_AXIS) from
+        parallel.mesh.make_mesh_2d) every global BA solve runs
+        map-block-partitioned over the mesh: landmark blocks and their
+        observations live on their owner shard, and one psum of the
+        reduced camera-camera Schur system per LM iteration is the only
+        cross-host (DCN) traffic — the multi-host scale-out of the
+        reference's iSAM2 global map (SURVEY.md §5)."""
         self.opts = opts
         self.T_cam_body = T_cam_body
         self.focal = jnp.asarray(cam_focal)
@@ -57,8 +65,33 @@ class GlobalMap:
         self._obs_cursor = 0
         self._since_opt = 0
         ba_opts = wba.BAOptions(max_iter=opts.ba_iters)
-        self._jit_opt = jax.jit(
-            lambda w: wba.optimize(w, self.T_cam_body, self.focal, ba_opts))
+        if mesh is None:
+            self._n_shards = 1
+            self._jit_opt = jax.jit(
+                lambda w: wba.optimize(w, self.T_cam_body, self.focal,
+                                       ba_opts))
+        else:
+            from svo_pro_universal_tpu.parallel import sharded_ba as sba
+            from svo_pro_universal_tpu.parallel.mesh import FEATURE_AXIS
+            axes = mesh_axes or (FEATURE_AXIS,)
+            n = 1
+            for a in axes:
+                n *= mesh.shape[a]
+            assert opts.max_landmarks % n == 0 and opts.max_obs % n == 0
+            self._n_shards = n
+            dist = jax.jit(lambda wp: sba.distributed_optimize(
+                wp, self.T_cam_body, self.focal, mesh, ba_opts, axes))
+
+            def solve(w):
+                # solve on a partitioned copy; keep the stored window's
+                # obs rows in insertion order so the ring cursor still
+                # evicts oldest-first
+                wp, chi2 = dist(sba.partition_observations(w, n))
+                w = w._replace(q=wp.q, p=wp.p, v=wp.v, bg=wp.bg, ba=wp.ba,
+                               lm_pos=wp.lm_pos, lm_valid=wp.lm_valid)
+                return w, chi2
+
+            self._jit_opt = solve
 
     def __len__(self):
         return self.n_states

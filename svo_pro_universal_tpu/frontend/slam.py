@@ -35,7 +35,9 @@ class FrameHandlerSLAM(FrameHandlerMono):
                  T_cam_body: Optional[SE3] = None, seed: int = 0,
                  lc_opts: LoopClosingOptions = LoopClosingOptions(),
                  max_pgo_nodes: int = 256,
-                 use_global_map: bool = True):
+                 use_global_map: bool = True,
+                 global_map_mesh=None,
+                 global_map_mesh_axes: tuple[str, ...] | None = None):
         super().__init__(cfg, cam, T_cam_body=T_cam_body, seed=seed)
         self.loop_closer = LoopClosing(lc_opts, seed=seed)
         self.graph = pgo_mod.make_graph(max_pgo_nodes, 2 * max_pgo_nodes)
@@ -43,7 +45,9 @@ class FrameHandlerSLAM(FrameHandlerMono):
         self._pgo_c = 0
         self._kf_poses: list[SE3] = []       # T_cam_world per pgo node
         self.global_map = (GlobalMap(cam.focal_length,
-                                     T_cam_body or SE3.identity())
+                                     T_cam_body or SE3.identity(),
+                                     mesh=global_map_mesh,
+                                     mesh_axes=global_map_mesh_axes)
                            if use_global_map else None)
         self.n_loops_closed = 0
         self._uid2slot: dict[int, int] = {}   # unique landmark id → pool slot

@@ -13,6 +13,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 FEATURE_AXIS = "f"
+HOST_AXIS = "h"       # DCN axis: inter-host partitioning (global map BA)
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
@@ -20,6 +21,19 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(jax.numpy.array(devs).reshape(-1), (FEATURE_AXIS,))
+
+
+def make_mesh_2d(n_hosts: int, per_host: int | None = None) -> Mesh:
+    """[host (DCN) × chip (ICI)] mesh. In a real multi-host launch the
+    leading axis spans hosts (`jax.devices()` is globally ordered
+    host-major under `jax.distributed`); single-host it folds the local
+    chips into a virtual host axis with identical program semantics."""
+    import numpy as np
+    devs = jax.devices()
+    if per_host is None:
+        per_host = len(devs) // n_hosts
+    devs = np.array(devs[: n_hosts * per_host]).reshape(n_hosts, per_host)
+    return Mesh(devs, (HOST_AXIS, FEATURE_AXIS))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -61,14 +61,23 @@ def partition_observations(w: wba.Window, n_shards: int) -> wba.Window:
 
 
 def distributed_optimize(w: wba.Window, T_cam_body: SE3, focal,
-                         mesh: Mesh, opts: wba.BAOptions = wba.BAOptions()
+                         mesh: Mesh, opts: wba.BAOptions = wba.BAOptions(),
+                         axes: tuple[str, ...] = (FEATURE_AXIS,)
                          ) -> tuple[wba.Window, jax.Array]:
     """Optimize with landmarks/observations sharded over `mesh`.
 
-    `w` must be pre-partitioned with `partition_observations(w, n)`."""
-    n = mesh.devices.size
+    `w` must be pre-partitioned with `partition_observations(w, n)` where
+    n is the product of the `axes` sizes. With a 2-D [host × chip] mesh
+    (mesh.make_mesh_2d) pass axes=(HOST_AXIS, FEATURE_AXIS): landmark
+    blocks stay host-local and the single psum of the reduced
+    camera-camera system per LM iteration is the only traffic that
+    crosses DCN — the keyframe/map-block partitioning of the reference's
+    global map (SURVEY.md §5 long-context analogue)."""
+    n = 1
+    for a in axes:
+        n *= mesh.shape[a]
     rep = P()
-    shard = P(FEATURE_AXIS)
+    shard = P(axes)
 
     imu_spec = jax.tree.map(lambda _: rep, w.imu)
     in_spec = wba.Window(
@@ -81,11 +90,16 @@ def distributed_optimize(w: wba.Window, T_cam_body: SE3, focal,
     out_spec = (in_spec, rep)
     L_local = w.L // n
 
+    # static shard-index arithmetic: flat index over `axes`, row-major
+    sizes = [mesh.shape[a] for a in axes]
+
     @partial(shard_map, mesh=mesh, in_specs=(in_spec,),
              out_specs=out_spec, check_vma=False)
     def step(wl):
-        lm_offset = jax.lax.axis_index(FEATURE_AXIS) * L_local
+        flat = jnp.zeros((), jnp.int32)
+        for a, s in zip(axes, sizes):
+            flat = flat * s + jax.lax.axis_index(a)
         return wba.optimize(wl, T_cam_body, focal, opts,
-                            axis_name=FEATURE_AXIS, lm_offset=lm_offset)
+                            axis_name=axes, lm_offset=flat * L_local)
 
     return step(w)
