@@ -64,6 +64,7 @@ class GlobalMap:
         self._lm_cursor = 0
         self._obs_cursor = 0
         self._since_opt = 0
+        self.last_dropped_obs = 0
         ba_opts = wba.BAOptions(max_iter=opts.ba_iters)
         if mesh is None:
             self._n_shards = 1
@@ -86,7 +87,18 @@ class GlobalMap:
                 # solve on a partitioned copy; keep the stored window's
                 # obs rows in insertion order so the ring cursor still
                 # evicts oldest-first
-                wp, chi2 = dist(sba.partition_observations(w, n))
+                part, n_dropped = sba.partition_observations(w, n)
+                # surface drops: one shard's No/n slice overflowing means
+                # the distributed solve uses fewer residuals than the
+                # single-device path (ADVICE r2) — never silently
+                self.last_dropped_obs = n_dropped
+                if n_dropped:
+                    import warnings
+                    warnings.warn(
+                        f"global-map distributed solve dropped {n_dropped} "
+                        f"observation rows (per-shard slice overflow); "
+                        f"increase max_obs or shard count")
+                wp, chi2 = dist(part)
                 w = w._replace(q=wp.q, p=wp.p, v=wp.v, bg=wp.bg, ba=wp.ba,
                                lm_pos=wp.lm_pos, lm_valid=wp.lm_valid)
                 return w, chi2

@@ -204,26 +204,35 @@ def _per_cell_best(score_map: jax.Array, cand_mask: jax.Array, scale: int,
     """Best (score, flat pixel index) per level-0 grid cell.
 
     Returns (cell_score [n_cells], cell_flat_idx [n_cells] with -1 = none).
+
+    TPU note: the obvious formulation — ``segment_max`` keyed by cell id —
+    lowers to a serialized scatter (~16 ms/frame measured on v5e for the
+    full detector). Because cells are spatially regular, the reduction is
+    instead done densely: nearest-upsample the level-l score map onto the
+    level-0 grid (each level-l pixel occupies a scale×scale block, so the
+    argmax position maps back exactly to x_l·scale), pad to the cell grid,
+    and block-reduce via reshape — pure VPU work, no scatter.
     """
     h, w = score_map.shape
-    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    cell = ((yy * scale) // cell_size) * n_cols + (xx * scale) // cell_size
-    cell = jnp.where(cand_mask, cell, n_cells)  # dump non-candidates
-    flat_score = jnp.where(cand_mask, score_map, 0.0).ravel()
-    seg = jax.ops.segment_max(flat_score, cell.ravel(),
-                              num_segments=n_cells + 1,
-                              indices_are_sorted=False)[:n_cells]
-    seg = jnp.maximum(seg, 0.0)
-    # winner index: max flat index among pixels achieving the cell max
-    h_w = h * w
-    flat_idx = jnp.arange(h_w, dtype=jnp.int32)
-    is_winner = (flat_score > 0.0) & (flat_score >= seg[jnp.clip(
-        cell.ravel(), 0, n_cells - 1)]) & (cell.ravel() < n_cells)
-    idx_seg = jax.ops.segment_max(
-        jnp.where(is_winner, flat_idx, -1), cell.ravel(),
-        num_segments=n_cells + 1)[:n_cells]
-    return seg, idx_seg
+    n_rows = n_cells // n_cols
+    s = jnp.where(cand_mask, score_map, 0.0)
+    if scale > 1:
+        s = jnp.repeat(jnp.repeat(s, scale, 0), scale, 1)
+    hp, wp = n_rows * cell_size, n_cols * cell_size
+    s = s[:hp, :wp]
+    s = jnp.pad(s, ((0, hp - s.shape[0]), (0, wp - s.shape[1])))
+    blocks = (s.reshape(n_rows, cell_size, n_cols, cell_size)
+              .transpose(0, 2, 1, 3).reshape(n_cells, cell_size * cell_size))
+    seg = jnp.max(blocks, axis=1)
+    arg = jnp.argmax(blocks, axis=1).astype(jnp.int32)
+    row = jnp.arange(n_cells, dtype=jnp.int32) // n_cols
+    col = jnp.arange(n_cells, dtype=jnp.int32) % n_cols
+    cy0 = row * cell_size + arg // cell_size          # level-0 coords
+    cx0 = col * cell_size + arg % cell_size
+    yl = cy0 // scale                                  # back to level-l
+    xl = cx0 // scale
+    idx = jnp.where(seg > 0.0, yl * w + xl, -1)
+    return jnp.maximum(seg, 0.0), idx
 
 
 def detect_cell_candidates(

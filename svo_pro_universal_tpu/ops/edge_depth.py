@@ -72,6 +72,15 @@ def detect_edges(pyr3: jax.Array, sigma: float = 5.0,
     img_pyr.size()-1`` (elder_zucker.cpp:21). ``sigma`` is the sensor noise
     level s_n; alpha_p the false-positive rate that sets both critical
     thresholds (elder_zucker.cpp:20-42, 97-100).
+
+    NOTE on response semantics (deliberate divergence): the reference's
+    edge_map steers products of first-derivative Scharr responses
+    (getCovarEntries: dx*dx, dy*dy, dx*dy — a squared, nonnegative
+    quantity) with a single cross-scale angle map; this implementation
+    returns the SIGNED cascaded second derivative steered with per-level
+    angles. Edge magnitudes and signs are therefore not comparable with
+    reference edge_map values — consumers porting reference thresholds or
+    zero-crossing logic keyed to edge_map must re-tune them.
     """
     levels = pyr_mod.pyramid_levels(pyr3)
     n_use = max(1, len(levels) - 1)
@@ -190,8 +199,15 @@ def refine_depth_photometric(
         m = (inb & ok[:, None] & valid[:, None]).astype(jnp.float32)
         Hd = jnp.sum(J * J * m, -1)
         g = jnp.sum(J * res * m, -1)
-        npx = jnp.maximum(jnp.sum(m, -1), 1.0)
-        cost = jnp.sum(jnp.abs(res) * m, -1) / npx
+        # A patch that projects (mostly) off-image must never be reported as
+        # photometrically confirmed: with zero valid pixels the mean error
+        # would be 0/1 = 0 < max_cost. Require at least half the patch in
+        # view, else cost = +inf (reference evaluateError bails out without
+        # claiming success, depth_estimation.cpp).
+        npx_raw = jnp.sum(m, -1)
+        npx = jnp.maximum(npx_raw, 1.0)
+        cost = jnp.where(npx_raw >= PATCH * PATCH / 2,
+                         jnp.sum(jnp.abs(res) * m, -1) / npx, jnp.inf)
         improved = cost < best_cost
         best_d = jnp.where(improved, d, best_d)
         best_cost = jnp.where(improved, cost, best_cost)

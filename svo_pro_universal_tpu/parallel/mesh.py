@@ -32,6 +32,10 @@ def make_mesh_2d(n_hosts: int, per_host: int | None = None) -> Mesh:
     devs = jax.devices()
     if per_host is None:
         per_host = len(devs) // n_hosts
+    if per_host < 1 or n_hosts * per_host > len(devs):
+        raise ValueError(
+            f"make_mesh_2d({n_hosts}, {per_host}): needs "
+            f"{n_hosts * max(per_host, 1)} devices, have {len(devs)}")
     devs = np.array(devs[: n_hosts * per_host]).reshape(n_hosts, per_host)
     return Mesh(devs, (HOST_AXIS, FEATURE_AXIS))
 

@@ -24,40 +24,50 @@ from svo_pro_universal_tpu.parallel.mesh import FEATURE_AXIS
 from svo_pro_universal_tpu.utils.transform import SE3
 
 
-def partition_observations(w: wba.Window, n_shards: int) -> wba.Window:
+def partition_observations(w: wba.Window, n_shards: int
+                           ) -> tuple[wba.Window, int]:
     """Reorder observation rows so each row sits in its landmark owner's
-    shard slice (host-side, numpy). Landmark slot ranges are contiguous:
-    shard d owns slots [d·L/n, (d+1)·L/n). Overflowing rows are dropped
-    (logged by the caller via the returned mask if needed)."""
+    shard slice (host-side, vectorized numpy — no Python row loop).
+    Landmark slot ranges are contiguous: shard d owns slots
+    [d·L/n, (d+1)·L/n).
+
+    Returns (partitioned window, n_dropped): rows that overflow their
+    shard's No/n-row slice are dropped and COUNTED — callers must surface
+    a nonzero drop count (the distributed solve would otherwise silently
+    use fewer residuals than the single-device path).
+    """
     L, No = w.L, w.obs_state.shape[0]
     assert L % n_shards == 0 and No % n_shards == 0
     per_lm = L // n_shards
     per_obs = No // n_shards
     obs_lm = np.asarray(w.obs_lm)
-    obs_state = np.asarray(w.obs_state)
-    obs_f = np.asarray(w.obs_f)
     obs_valid = np.asarray(w.obs_valid)
 
-    new_state = np.zeros_like(obs_state)
-    new_lm = np.zeros_like(obs_lm)
-    new_f = np.zeros_like(obs_f)
-    new_valid = np.zeros_like(obs_valid)
-    fill = [0] * n_shards
-    for i in range(No):
-        if not obs_valid[i]:
-            continue
-        d = int(obs_lm[i]) // per_lm
-        if d < 0 or d >= n_shards or fill[d] >= per_obs:
-            continue
-        j = d * per_obs + fill[d]
-        fill[d] += 1
-        new_state[j] = obs_state[i]
-        new_lm[j] = obs_lm[i]
-        new_f[j] = obs_f[i]
-        new_valid[j] = True
+    idx = np.nonzero(obs_valid)[0]
+    d = obs_lm[idx] // per_lm
+    in_range = (d >= 0) & (d < n_shards)
+    idx, d = idx[in_range], d[in_range]
+    # stable group-by shard: position within each shard's run
+    order = np.argsort(d, kind="stable")
+    idx_s, d_s = idx[order], d[order]
+    starts = np.searchsorted(d_s, np.arange(n_shards))
+    pos = np.arange(len(d_s)) - starts[d_s]
+    keep = pos < per_obs
+    n_dropped = int((~keep).sum()) + int((~in_range).sum())
+    src = idx_s[keep]
+    dst = d_s[keep] * per_obs + pos[keep]
+
+    def scatter(x):
+        a = np.asarray(x)
+        out = np.zeros_like(a)
+        out[dst] = a[src]
+        return jnp.asarray(out)
+
+    new_valid = np.zeros(No, dtype=bool)
+    new_valid[dst] = True
     return w._replace(
-        obs_state=jnp.asarray(new_state), obs_lm=jnp.asarray(new_lm),
-        obs_f=jnp.asarray(new_f), obs_valid=jnp.asarray(new_valid))
+        obs_state=scatter(w.obs_state), obs_lm=scatter(w.obs_lm),
+        obs_f=scatter(w.obs_f), obs_valid=jnp.asarray(new_valid)), n_dropped
 
 
 def distributed_optimize(w: wba.Window, T_cam_body: SE3, focal,

@@ -21,6 +21,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", _platform)
 
+# Persistent compilation cache: the suite is compile-bound (the 8-device
+# dryrun alone compiles for minutes on the virtual CPU mesh); caching makes
+# repeat runs CI-able (VERDICT r2 "make the suite CI-able").
+_cache_dir = os.environ.get("SVO_JAX_CACHE",
+                            os.path.expanduser("~/.cache/svo_jax_cache"))
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

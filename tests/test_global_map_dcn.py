@@ -75,6 +75,8 @@ def test_dcn_partitioned_global_map_matches_single(shape, axes):
 
 def test_dcn_global_map_accuracy(rng):
     """Partitioned solve also actually refines the noisy poses."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
     opts = GlobalMapOptions(max_keyframes=12, max_landmarks=256,
                             max_obs=4096, optimize_every=3, ba_iters=6)
     lm = rng.uniform([-2, -2, 2], [2, 2, 6], (80, 3)).astype(np.float32)

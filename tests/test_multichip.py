@@ -5,6 +5,7 @@ import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 sys.path.insert(0, "/root/repo")
 
@@ -18,6 +19,7 @@ def test_entry_compiles_and_runs():
     assert abs(float(state.T_icur_iref.t[0])) > 1e-3
 
 
+@pytest.mark.slow  # compile-bound: full training-step jit on a virtual mesh
 def test_dryrun_multichip_8():
     import __graft_entry__ as ge
     assert len(jax.devices()) >= 8

@@ -36,7 +36,7 @@ def test_distributed_ba_matches_single_device(rng):
     focal = jnp.asarray(300.0)
 
     # single-device (on the same partitioned window for identical obs sets)
-    wp = partition_observations(w, 8)
+    wp, _dropped = partition_observations(w, 8)
     w_single, chi_single = wba.optimize(wp, cam, focal, opts)
 
     mesh = Mesh(np.array(jax.devices()[:8]), (FEATURE_AXIS,))
@@ -54,7 +54,7 @@ def test_partition_preserves_observations():
     states, segs = simulate_vi()
     w = _make_window(states, segs)
     n_before = int(jnp.sum(w.obs_valid.astype(jnp.int32)))
-    wp = partition_observations(w, 8)
+    wp, _dropped = partition_observations(w, 8)
     n_after = int(jnp.sum(wp.obs_valid.astype(jnp.int32)))
     assert n_after == n_before     # capacity 512/8=64 per shard is enough
     per = w.L // 8
@@ -65,3 +65,18 @@ def test_partition_preserves_observations():
         sl = slice(d * per_obs, (d + 1) * per_obs)
         sel = ok[sl]
         assert (lm[sl][sel] // per == d).all()
+    assert _dropped == 0
+
+
+def test_partition_counts_drops():
+    """Overflowing a shard's slice must be reported, not silent (ADVICE r2:
+    contiguous slot assignment clusters obs in one shard's slice)."""
+    w = wba.make_window(3, 16, 16)     # per-shard slice = 2 obs
+    # 6 valid observations, all of landmarks in shard 0's slot range [0, 2)
+    w = w._replace(
+        obs_state=w.obs_state.at[:6].set(0),
+        obs_lm=w.obs_lm.at[:6].set(jnp.asarray([0, 1, 0, 1, 0, 1])),
+        obs_valid=w.obs_valid.at[:6].set(True))
+    wp, dropped = partition_observations(w, 8)
+    assert dropped == 4
+    assert int(jnp.sum(wp.obs_valid.astype(jnp.int32))) == 2
