@@ -119,12 +119,39 @@ def main():
     n_tracking = int((stages == Stage.TRACKING.value).sum())
     fps = n_timed / dt if n_tracking >= 0.9 * n_timed else 0.0
     baseline_fps = 20.0                  # EuRoC camera rate (real-time claim)
-    print(json.dumps({
+
+    out = {
         "metric": "frontend_fps",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline_fps, 3),
-    }))
+    }
+
+    # ---- per-stage device throughput + roofline (VERDICT r2 item 1) ----
+    # Times each _stage_* program at the live world state via marginal
+    # fori-loop timing (utils/stage_profile.py). Skippable for a fast run.
+    import os
+    if os.environ.get("SVO_BENCH_STAGES", "1") != "0":
+        try:
+            from svo_pro_universal_tpu.ops.pallas_tiles import \
+                pallas_supported
+            from svo_pro_universal_tpu.utils import stage_profile as sp
+            w = handler.world
+            prof = sp.profile_frontend(
+                handler, w.ring, w.pool, w.last_frame, w.depth_state,
+                reps=32)
+            out["stages_ms"] = {k: round(v * 1e3, 3)
+                                for k, v in prof.items()}
+            out["roofline"] = {
+                k: {kk: round(vv, 4) for kk, vv in d.items()}
+                for k, d in sp.roofline_summary(
+                    {k: v * 1e3 for k, v in prof.items()},
+                    H, W, cfg.n_pyr_levels).items()}
+            out["pallas_tile_gather"] = bool(pallas_supported())
+        except Exception as e:           # never break the primary metric
+            out["stages_error"] = str(e)[:200]
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

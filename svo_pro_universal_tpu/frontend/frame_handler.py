@@ -151,22 +151,19 @@ class FrameHandlerMono:
     # ------------------------------------------------------------------
     # jitted stage programs
     # ------------------------------------------------------------------
-    def _tracking_step(self, ring, pool, last_frame, cur_frame, T_prior_rel,
-                       depth_scalars):
-        """Sparse align → reproject → pose opt → structure opt → seed
-        update. One fused device program per tracked frame."""
+    def _stage_align(self, ring, pool, last_frame, cur_pyramid, T_prior_rel):
+        """Stage 1: sparse image alignment vs the last frame (reference:
+        sparseImageAlignment frame_handler_base.cpp:610-644).
+        Returns (T_cur_world, align_stats)."""
         cfg = self.cfg
-        cam = self.cam
-
-        # ---- 1. sparse image alignment (vs last frame) ----------------
         xyz_w, has_pt = _feature_world_points(last_frame, ring, pool)
         last_pos = last_frame.T_world_cam.t
         depth_ref = jnp.linalg.norm(xyz_w - last_pos[None], axis=-1)
         valid_align = last_frame.valid_mask() & has_pt
         inp = sia_mod.CameraInput(
-            pyr_ref=last_frame.pyramid, pyr_cur=cur_frame.pyramid,
+            pyr_ref=last_frame.pyramid, pyr_cur=cur_pyramid,
             px_ref=last_frame.px, f_ref=last_frame.f, depth_ref=depth_ref,
-            valid=valid_align, T_cam_body=self.T_cam_body, cam=cam)
+            valid=valid_align, T_cam_body=self.T_cam_body, cam=self.cam)
         opts = sia_mod.SparseImgAlignOptions(
             max_level=cfg.img_align.max_level,
             min_level=cfg.img_align.min_level,
@@ -188,11 +185,14 @@ class FrameHandlerMono:
         T_cur_world = (self.T_cam_body.compose(align_state.T_icur_iref)
                        .compose(T_body_cam)
                        .compose(last_frame.T_cam_world))
+        return T_cur_world, align_stats
 
-        # ---- 2. reproject map -----------------------------------------
-        ov = overlap_mask(ring, T_cur_world, cfg.reprojector.max_n_kfs)
+    def _stage_reproject(self, ring, pool, cur_frame, T_cur_world, ov):
+        """Stage 2: reproject map landmarks/seeds + patch-align matches
+        (reference: projectMapInFrame :646-744). Returns (frame, rep)."""
+        cfg = self.cfg
         rep = repro_mod.reproject(
-            ring, pool, T_cur_world, cur_frame.pyramid, cam, ov,
+            ring, pool, T_cur_world, cur_frame.pyramid, self.cam, ov,
             jnp.zeros((self.n_cells,), bool), self.n_cols, self.n_rows,
             max_search_level=cfg.detector.max_level,
             opts=repro_mod.ReprojectorOptions(
@@ -218,14 +218,18 @@ class FrameHandlerMono:
             seed_ref_kf=cur_frame.seed_ref_kf.at[:m].set(rep.seed_ref_kf),
             seed_ref_idx=cur_frame.seed_ref_idx.at[:m].set(rep.seed_ref_idx),
         )
+        return frame, rep
 
-        # ---- 3. pose refinement ---------------------------------------
+    def _stage_pose(self, ring, pool, frame):
+        """Stage 3: motion-only pose refinement (reference: optimizePose
+        :746-777). Returns (frame, po_res, xyz_cur, has_cur)."""
+        cfg = self.cfg
         xyz_cur, has_cur = _feature_world_points(frame, ring, pool)
         fs = po_mod.PoseOptFeatures(
             xyz_world=xyz_cur, f=frame.f, grad=frame.grad,
             level=frame.level, is_edgelet=ft.is_edgelet(frame.ftype),
             valid=frame.valid_mask() & has_cur,
-            T_cam_body=self.T_cam_body, cam=cam)
+            T_cam_body=self.T_cam_body, cam=self.cam)
         T_body_world = self.T_cam_body.inverse().compose(frame.T_cam_world)
         po_res = po_mod.optimize_pose(
             [fs], T_body_world,
@@ -238,14 +242,16 @@ class FrameHandlerMono:
             T_cam_world=T_cur_world,
             ftype=jnp.where(outlier, jnp.int32(ft.FeatureType.OUTLIER),
                             frame.ftype))
+        return frame, po_res, xyz_cur, has_cur
 
-        # ---- 4. structure refinement ----------------------------------
+    def _stage_structure(self, ring, pool, frame):
+        """Stage 4: per-point structure GN (reference: optimizeStructure
+        :779-826 + Point::optimize point.h:155). Returns pool."""
         lid = frame.landmark_id
         has_lm = (lid >= 0) & frame.valid_mask()
         lidc = jnp.clip(lid, 0, pool.capacity - 1)
         obs_kf = pool.obs_kf[lidc]                     # [N, O]
         obs_idx = pool.obs_idx[lidc]
-        O = obs_kf.shape[1]
         okf = jnp.clip(obs_kf, 0, ring.capacity - 1)
         oidx = jnp.clip(obs_idx, 0, self.max_fts - 1)
         f_obs = ring.frames.f[okf, oidx]               # [N, O, 3]
@@ -260,12 +266,18 @@ class FrameHandlerMono:
             has_lm & enough & ~pool.fixed[lidc], n_iter=5)
         new_pos = pool.pos.at[jnp.where(has_lm, lidc, pool.capacity)].set(
             so_res.xyz, mode="drop")
-        pool = pool._replace(pos=new_pos)
+        return pool._replace(pos=new_pos)
 
-        # ---- 5. depth-filter update of ring seeds ---------------------
-        # COMPACTED: gathers on TPU read whole tiles, so the epipolar scan
-        # must only run for live seeds, not all K·F padded slots. The most
-        # uncertain seeds go first (fastest convergence per byte).
+    def _stage_seeds(self, ring, cur_pyramid, T_cur_world, depth_scalars,
+                     ov):
+        """Stage 5: depth-filter update of the ring's seeds (reference:
+        DepthFilter::updateSeeds depth_filter.cpp:200-366).
+        Returns (ring, upd).
+
+        COMPACTED: gathers on TPU read whole tiles, so the epipolar scan
+        must only run for live seeds, not all K·F padded slots. The most
+        uncertain seeds go first (fastest convergence per byte)."""
+        cfg = self.cfg
         K, F = ring.capacity, self.max_fts
         NC = K * F
         MS = min(self.cfg.capacity.max_seed_updates, NC)
@@ -293,7 +305,7 @@ class FrameHandlerMono:
 
         mu_range = 1.0 / depth_scalars[1]
         upd = df_mod.update_seeds(
-            ring.frames.pyramid, cur_frame.pyramid, cam, cam, T_cur_kf,
+            ring.frames.pyramid, cur_pyramid, self.cam, self.cam, T_cur_kf,
             rflat(ring.frames.px)[sidx], rflat(ring.frames.f)[sidx],
             rflat(ring.frames.grad)[sidx], rflat(ring.frames.level)[sidx],
             jnp.where(s_ok, r_ftype[sidx],
@@ -312,16 +324,11 @@ class FrameHandlerMono:
             upd.ftype, mode="drop").reshape(K, F)
         ring = ring._replace(frames=ring.frames._replace(
             seed_state=new_seed_state, ftype=new_ftype))
+        return ring, upd
 
-        # ---- stats -----------------------------------------------------
-        n_tracked = jnp.sum((frame.valid_mask()
-                             & (frame.landmark_id >= 0)).astype(jnp.int32))
-        n_total = frame.num_valid()
-        # scene depth for keyframe policy
-        z_med, z_min, _ = _scene_depth(frame, xyz_cur,
-                                       frame.valid_mask() & has_cur)
-
-        # keyframe-policy signals (reference needNewKf :1012-1121), device:
+    def _stage_kf_policy(self, ring, pool, frame, ov):
+        """Keyframe-policy signals (reference needNewKf :1012-1121), device.
+        Returns dict(med_disparity, kf_too_close)."""
         # (a) median px disparity of landmarks co-observed with the last KF
         last_kf = jnp.clip(ring.last_added, 0, ring.capacity - 1)
         kf_lid = ring.frames.landmark_id[last_kf]
@@ -349,10 +356,49 @@ class FrameHandlerMono:
         close = (ov & ring.valid
                  & (kf_ang < jnp.deg2rad(self.cfg.base.kfselect_min_angle))
                  & (kf_rel_t < self.cfg.base.kfselect_min_dist_metric))
-        kf_too_close = jnp.any(close)
+        return dict(med_disparity=med_disparity,
+                    kf_too_close=jnp.any(close))
+
+    def _tracking_step(self, ring, pool, last_frame, cur_frame, T_prior_rel,
+                       depth_scalars):
+        """Sparse align → reproject → pose opt → structure opt → seed
+        update. One fused device program per tracked frame, composed from
+        the named stage methods above (which utils/stage_profile.py times
+        individually)."""
+        cfg = self.cfg
+
+        # ---- 1. sparse image alignment (vs last frame) ----------------
+        T_cur_world, align_stats = self._stage_align(
+            ring, pool, last_frame, cur_frame.pyramid, T_prior_rel)
+
+        # ---- 2. reproject map -----------------------------------------
+        ov = overlap_mask(ring, T_cur_world, cfg.reprojector.max_n_kfs)
+        frame, rep = self._stage_reproject(ring, pool, cur_frame,
+                                           T_cur_world, ov)
+
+        # ---- 3. pose refinement ---------------------------------------
+        frame, po_res, xyz_cur, has_cur = self._stage_pose(ring, pool, frame)
+        T_cur_world = frame.T_cam_world
+
+        # ---- 4. structure refinement ----------------------------------
+        pool = self._stage_structure(ring, pool, frame)
+
+        # ---- 5. depth-filter update of ring seeds ---------------------
+        ring, upd = self._stage_seeds(ring, cur_frame.pyramid, T_cur_world,
+                                      depth_scalars, ov)
+
+        # ---- stats -----------------------------------------------------
+        n_tracked = jnp.sum((frame.valid_mask()
+                             & (frame.landmark_id >= 0)).astype(jnp.int32))
+        n_total = frame.num_valid()
+        # scene depth for keyframe policy
+        z_med, z_min, _ = _scene_depth(frame, xyz_cur,
+                                       frame.valid_mask() & has_cur)
+        policy = self._stage_kf_policy(ring, pool, frame, ov)
 
         stats = dict(
-            med_disparity=med_disparity, kf_too_close=kf_too_close,
+            med_disparity=policy["med_disparity"],
+            kf_too_close=policy["kf_too_close"],
             n_tracked=n_tracked, n_total=n_total,
             align_chi2=align_stats.chi2, align_fts=align_stats.n_tracked,
             reproj_matches=rep.n_matches, reproj_trials=rep.n_trials,

@@ -217,7 +217,14 @@ def _per_cell_best(score_map: jax.Array, cand_mask: jax.Array, scale: int,
     n_rows = n_cells // n_cols
     s = jnp.where(cand_mask, score_map, 0.0)
     if scale > 1:
+        # zero-fill upsample: the candidate occupies ONLY its representative
+        # level-0 position (y_l·scale, x_l·scale). A nearest upsample would
+        # let one candidate's scale×scale block straddle a cell boundary and
+        # win TWO cells — duplicate features at identical px.
         s = jnp.repeat(jnp.repeat(s, scale, 0), scale, 1)
+        ry = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) % scale
+        rx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) % scale
+        s = jnp.where((ry == 0) & (rx == 0), s, 0.0)
     hp, wp = n_rows * cell_size, n_cols * cell_size
     s = s[:hp, :wp]
     s = jnp.pad(s, ((0, hp - s.shape[0]), (0, wp - s.shape[1])))

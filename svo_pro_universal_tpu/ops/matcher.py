@@ -294,15 +294,29 @@ def find_epipolar_matches(
     tb = tl.extract_tiles(pyr_cur, search_level,
                           jnp.stack([mid[:, 1], mid[:, 0]], -1),
                           SCAN_TILE, SCAN_TILE)
+    # crop any aligned-superset tile back to the logical scan window: the
+    # dense ZMSSD conv below scales with tile area (a 256-wide superset
+    # would cost ~10× the FLOPs for positions the band mask rejects)
+    Lp, Hp_, Wp_ = pyr_cur.shape
+    y0d, x0d, _, _, _ = tl._tile_origin(
+        mid[:, 1], mid[:, 0], search_level, SCAN_TILE, SCAN_TILE,
+        Hp_, Wp_, Lp)
+    tb = tl.crop_tiles(tb, y0d, x0d, SCAN_TILE, SCAN_TILE)
     score_map, pos_ok = tl.zmssd_score_map(tb, ref_patch, PATCH)
-    SP = SCAN_TILE - PATCH + 1
+    # score-map extent follows the PHYSICAL tile shape (on TPU the Pallas
+    # gather returns an aligned superset of the logical SCAN_TILE window;
+    # the epipolar-band mask below keeps the search region identical)
+    tR, tT = tb.shape_rt
+    SPy, SPx = tR - PATCH + 1, tT - PATCH + 1
     # candidate feature positions in level coords: the ref patch covers
     # offsets [-HALF_PATCH, HALF_PATCH) around the feature (patch_offsets),
     # so a patch at tile top-left (v, u) puts the feature at +HALF_PATCH
     cyy = (tb.y0[:, None, None].astype(dt) + float(HALF_PATCH)
-           + jax.lax.broadcasted_iota(jnp.int32, (n, SP, SP), 1).astype(dt))
+           + jax.lax.broadcasted_iota(jnp.int32, (n, SPy, SPx), 1)
+           .astype(dt))
     cxx = (tb.x0[:, None, None].astype(dt) + float(HALF_PATCH)
-           + jax.lax.broadcasted_iota(jnp.int32, (n, SP, SP), 2).astype(dt))
+           + jax.lax.broadcasted_iota(jnp.int32, (n, SPy, SPx), 2)
+           .astype(dt))
     # distance to the window segment w0→w1 + projection parameter
     d01 = w1 - w0
     d01_len2 = jnp.maximum(jnp.sum(d01 * d01, -1), 1e-12)[:, None, None]
@@ -317,11 +331,11 @@ def find_epipolar_matches(
     band = opts.scan_band_px
     on_line = (dist2 <= band * band) & (t_par >= -0.02) & (t_par <= 1.02)
     score = jnp.where(pos_ok & on_line, score_map, jnp.inf)
-    score_flat = score.reshape(n, SP * SP)
+    score_flat = score.reshape(n, SPy * SPx)
     best = jnp.argmin(score_flat, axis=-1)
     zmssd_best = jnp.take_along_axis(score_flat, best[:, None], 1)[:, 0]
-    by = best // SP
-    bx = best - by * SP
+    by = best // SPx
+    bx = best - by * SPx
     px_best_lvl = jnp.stack([
         tb.x0.astype(dt) + bx.astype(dt) + float(HALF_PATCH),
         tb.y0.astype(dt) + by.astype(dt) + float(HALF_PATCH)], -1)

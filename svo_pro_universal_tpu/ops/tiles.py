@@ -66,14 +66,57 @@ def _tile_origin(cy, cx, level, R, T, h, w, n_levels):
     return y0, x0, lh, lw, lvl
 
 
+def _aligned_origins(y0, x0, RA, TA, Hp, Wp):
+    """(8, 128)-aligned superset origins covering [y0, y0+R) × [x0, x0+T).
+
+    ``Hp``/``Wp`` are the DMA-source dims and must themselves be ×8/×128
+    (so the clip bound stays aligned AND every window near the right/
+    bottom edge remains covered — with unpadded dims the last
+    ``W mod 128`` columns would be unreachable by any aligned window)."""
+    ya = jnp.clip((y0 // 8) * 8, 0, Hp - RA)
+    xa = jnp.clip((x0 // 128) * 128, 0, Wp - TA)
+    return ya, xa
+
+
+def _dma_source(arr: jax.Array) -> jax.Array:
+    """Zero-pad the trailing two dims to (×8, ×128) for aligned DMA.
+
+    The pyramid keeps its logical [L, H, W] shape everywhere (level
+    extents, masks, border checks are all derived from it); only the
+    Pallas gather reads this padded copy. XLA CSEs the pad across the
+    many extract calls inside one program, so it costs one ~2 MB copy
+    per frame program (~5 µs) against the ~0.5 ms the kernel saves."""
+    *lead, h, w = arr.shape
+    hp, wp = -(-h // 8) * 8, -(-w // 128) * 128
+    if hp == h and wp == w:
+        return arr
+    pad = [(0, 0)] * len(lead) + [(0, hp - h), (0, wp - w)]
+    return jnp.pad(arr, pad)
+
+
 @partial(jax.jit, static_argnums=(3, 4), inline=True)
 def extract_tiles(pyr3: jax.Array, level: jax.Array, center_yx: jax.Array,
                   R: int, T: int) -> TileBatch:
-    """Cut [N, R, T] tiles around ``center_yx`` ([N, 2] = (y, x) in LEVEL
-    coords) at per-feature ``level`` from a padded [L, H, W] pyramid."""
+    """Cut [N, ≥R, ≥T] tiles around ``center_yx`` ([N, 2] = (y, x) in LEVEL
+    coords) at per-feature ``level`` from a padded [L, H, W] pyramid.
+
+    On TPU this dispatches to the Pallas DMA-gather kernel
+    (ops/pallas_tiles.py), which returns an (8, 128)-ALIGNED SUPERSET tile
+    covering the requested window — all samplers below work off
+    ``TileBatch.y0/x0`` and the actual tile shape, so callers are
+    agnostic; elsewhere (CPU tests, tiny images) it falls back to the
+    exact-size XLA dynamic-slice gather.
+    """
+    from svo_pro_universal_tpu.ops import pallas_tiles as ptl
     L, H, W = pyr3.shape
     y0, x0, lh, lw, lvl = _tile_origin(
         center_yx[:, 0], center_yx[:, 1], level, R, T, H, W, L)
+    RA, TA = ptl.round_rows(R), ptl.round_cols(T)
+    Hp, Wp = -(-H // 8) * 8, -(-W // 128) * 128
+    if ptl.pallas_supported() and Hp >= RA and Wp >= TA:
+        ya, xa = _aligned_origins(y0, x0, RA, TA, Hp, Wp)
+        tiles = ptl.gather_tiles(_dma_source(pyr3), lvl, ya, xa, RA, TA)
+        return TileBatch(tiles, ya, xa, lh, lw)
 
     def one(l, y, x):
         return jax.lax.dynamic_slice(pyr3, (l, y, x), (1, R, T))[0]
@@ -87,16 +130,49 @@ def extract_tiles_ring(ring4: jax.Array, kf: jax.Array, level: jax.Array,
                        center_yx: jax.Array, R: int, T: int) -> TileBatch:
     """Same as :func:`extract_tiles` but from a stacked keyframe-ring
     pyramid [K, L, H, W] with a per-feature keyframe index."""
+    from svo_pro_universal_tpu.ops import pallas_tiles as ptl
     K, L, H, W = ring4.shape
     y0, x0, lh, lw, lvl = _tile_origin(
         center_yx[:, 0], center_yx[:, 1], level, R, T, H, W, L)
     kfc = jnp.clip(kf, 0, K - 1)
+    RA, TA = ptl.round_rows(R), ptl.round_cols(T)
+    Hp, Wp = -(-H // 8) * 8, -(-W // 128) * 128
+    if ptl.pallas_supported() and Hp >= RA and Wp >= TA:
+        ya, xa = _aligned_origins(y0, x0, RA, TA, Hp, Wp)
+        tiles = ptl.gather_tiles_ring(_dma_source(ring4), kfc, lvl,
+                                      ya, xa, RA, TA)
+        return TileBatch(tiles, ya, xa, lh, lw)
 
     def one(k, l, y, x):
         return jax.lax.dynamic_slice(ring4, (k, l, y, x), (1, 1, R, T))[0, 0]
 
     tiles = jax.vmap(one)(kfc, lvl, y0, x0)
     return TileBatch(tiles, y0, x0, lh, lw)
+
+
+def crop_tiles(tb: TileBatch, y0: jax.Array, x0: jax.Array,
+               R: int, T: int) -> TileBatch:
+    """Exact (R, T) window at absolute per-feature (y0, x0) out of a
+    (possibly aligned-superset) TileBatch, as two one-hot selection
+    matmuls — MXU work, no gather. Used where downstream cost scales with
+    tile AREA (the dense ZMSSD epipolar scan): scanning a 256-wide
+    aligned superset would cost ~10× the conv FLOPs of the logical
+    window."""
+    Rp, Tp = tb.shape_rt
+    if (Rp, Tp) == (R, T):
+        return tb
+    n = tb.tiles.shape[0]
+    dy = (y0 - tb.y0).astype(jnp.int32)
+    dx = (x0 - tb.x0).astype(jnp.int32)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (n, R, Rp), 1)
+    hi = jax.lax.broadcasted_iota(jnp.int32, (n, R, Rp), 2)
+    Sy = (hi == dy[:, None, None] + ri).astype(tb.tiles.dtype)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (n, T, Tp), 1)
+    wi = jax.lax.broadcasted_iota(jnp.int32, (n, T, Tp), 2)
+    Sx = (wi == dx[:, None, None] + ci).astype(tb.tiles.dtype)
+    tmp = jnp.einsum("nrh,nht->nrt", Sy, tb.tiles)
+    out = jnp.einsum("nrt,nct->nrc", tmp, Sx)
+    return TileBatch(out, y0, x0, tb.lh, tb.lw)
 
 
 def tile_bilinear(tb: TileBatch, ys: jax.Array, xs: jax.Array

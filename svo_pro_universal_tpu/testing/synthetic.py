@@ -128,3 +128,72 @@ def grid_features(n_grid=10, border=20, cam=CAM, plane_z=PLANE_Z):
     f = backproject(cam, px)
     depth = plane_z / f[:, 2]
     return px, f, depth
+
+
+# ---------------------------------------------------------------------------
+# synthetic sliding-window BA problem (benchmark + backend tests)
+# ---------------------------------------------------------------------------
+
+def synthetic_ba_window(S=8, n_landmarks=200, L=256, No=1024,
+                        obs_per_state=120, imu_rate=200.0, state_dt=0.2,
+                        seed=0):
+    """A consistent VI window at the reference's backend shape
+    (reference: ceres_backend_interface.hpp:21-58 — 5 keyframes + 3 IMU
+    frames = 8 states, ~3 iterations per optimize). Vectorized
+    construction: forward motion at constant velocity, landmarks in a box
+    ahead, exact unit-plane bearings, stationary-consistent IMU factors.
+    Used by bench.py's ``ba_iters_per_s`` metric and backend tests."""
+    from svo_pro_universal_tpu.backend import imu_factor as imf
+    from svo_pro_universal_tpu.backend import window_ba as wba
+    from svo_pro_universal_tpu.frontend.imu_handler import ImuWindow
+    from svo_pro_universal_tpu.utils.transform import (
+        quat_conjugate, quat_rotate)
+    import jax
+
+    rng = np.random.default_rng(seed)
+    vel = jnp.asarray([0.5, 0.0, 0.0])
+    ts = jnp.arange(S, dtype=jnp.float32) * state_dt
+    p = ts[:, None] * vel[None]
+    q = jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (S, 1))
+    v = jnp.tile(vel, (S, 1))
+
+    w = wba.make_window(S, L, No)
+    w = w._replace(q=q, p=p, v=v, state_valid=jnp.ones((S,), bool))
+
+    lm = jnp.asarray(rng.uniform([-2.5, -2.0, 2.0], [3.5, 2.0, 8.0],
+                                 (n_landmarks, 3)).astype(np.float32))
+    w = w._replace(lm_pos=w.lm_pos.at[:n_landmarks].set(lm),
+                   lm_valid=w.lm_valid.at[:n_landmarks].set(True))
+
+    # observations: state s sees landmarks [s*stride ... ) wrapped, exact
+    per = min(obs_per_state, n_landmarks, No // S)
+    lm_idx = (jnp.arange(S)[:, None] * 7
+              + jnp.arange(per)[None]) % n_landmarks          # [S, per]
+    pb = jax.vmap(lambda qq, pp, li: quat_rotate(
+        quat_conjugate(qq)[None], lm[li] - pp[None]))(q, p, lm_idx)
+    f = pb / jnp.linalg.norm(pb, axis=-1, keepdims=True)      # [S, per, 3]
+    obs_s = jnp.repeat(jnp.arange(S, dtype=jnp.int32), per)
+    obs_l = lm_idx.reshape(-1).astype(jnp.int32)
+    n_obs = S * per
+    w = w._replace(
+        obs_state=w.obs_state.at[:n_obs].set(obs_s),
+        obs_lm=w.obs_lm.at[:n_obs].set(obs_l),
+        obs_f=w.obs_f.at[:n_obs].set(f.reshape(-1, 3)),
+        obs_valid=w.obs_valid.at[:n_obs].set(True))
+
+    # IMU factors: constant-velocity segments (zero rotation, gravity-only
+    # specific force) — consistent with the states above
+    n_samp = int(imu_rate * state_dt) + 1
+    t_seg = jnp.linspace(0.0, state_dt, n_samp)
+    gyr = jnp.zeros((n_samp, 3))
+    acc = jnp.tile(jnp.asarray([0.0, 0.0, 9.81]), (n_samp, 1))
+    win = ImuWindow(t_seg, gyr, acc, jnp.ones((n_samp,), bool))
+    factor = imf.preintegrate_with_cov(win, jnp.zeros(3), jnp.zeros(3),
+                                       1e-3, 1e-2)
+    info = imf.imu_information(factor, 1e-4, 1e-3)
+    stacked = jax.tree.map(
+        lambda x: jnp.tile(x[None], (S - 1,) + (1,) * x.ndim), factor)
+    w = w._replace(imu=stacked,
+                   imu_info=jnp.tile(info[None], (S - 1, 1, 1)),
+                   imu_valid=jnp.ones((S - 1,), bool))
+    return w

@@ -44,6 +44,7 @@ def test_descriptor_similarity_structure():
     assert float(d0 @ d_far) < float(d0 @ d_near) - 0.05
 
 
+@pytest.mark.slow
 def test_loop_detection_and_constraint_accuracy():
     opts = lc.LoopClosingOptions(min_temporal_gap=4, min_similarity=0.8,
                                  min_inliers=15)

@@ -26,6 +26,7 @@ def test_dryrun_multichip_8():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow  # compile-bound on the virtual 8-device mesh
 def test_distributed_align_matches_single_device():
     import __graft_entry__ as ge
     from jax.sharding import Mesh

@@ -16,6 +16,7 @@ from svo_pro_universal_tpu.utils.transform import SE3, so3_exp, \
 from test_window_ba import _make_window, simulate_vi
 
 
+@pytest.mark.slow  # compile-bound on the virtual 8-device mesh
 def test_distributed_ba_matches_single_device(rng):
     states, segs = simulate_vi()
     w = _make_window(states, segs, obs_noise=5e-4)
