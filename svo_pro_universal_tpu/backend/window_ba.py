@@ -225,15 +225,13 @@ def _imu_terms(w: Window, opts: BAOptions):
     return r, J_i, J_j
 
 
-def build_system(w: Window, T_cam_body: SE3, focal: jax.Array,
-                 opts: BAOptions, axis_name: str | None = None,
-                 lm_offset=0):
-    """(Hpp [D,D], bp [D], U [L,D,3], Hll [L,3,3], bl [L,3], chi2).
+def _assemble_reproj(w: Window, T_cam_body: SE3, focal: jax.Array,
+                     opts: BAOptions, lm_offset=0):
+    """Reprojection-factor normal system: (Hpp, bp, U, Hll, bl, chi2).
 
-    With `axis_name`, landmarks+observations are sharded over the mesh:
-    the state-block contributions are psum-reduced over ICI while the
-    landmark blocks (U, Hll, bl) stay shard-local — the distributed
-    Schur-complement decomposition (BASELINE.md weak-scaling target)."""
+    Shared by `build_system` (full solve) and `marginalize_oldest`
+    (which re-assembles over the subset of observations being absorbed
+    into the dense prior)."""
     S, L = w.S, w.L
     D = S * DOF
 
@@ -273,6 +271,23 @@ def build_system(w: Window, T_cam_body: SE3, focal: jax.Array,
     bl = jax.ops.segment_sum(bl_o, l_seg, num_segments=L + 1)[:L]
 
     chi2 = jnp.sum(jnp.sum(e * e, -1) * wgt)
+    return Hpp, bp, U, Hll, bl, chi2
+
+
+def build_system(w: Window, T_cam_body: SE3, focal: jax.Array,
+                 opts: BAOptions, axis_name: str | None = None,
+                 lm_offset=0):
+    """(Hpp [D,D], bp [D], U [L,D,3], Hll [L,3,3], bl [L,3], chi2).
+
+    With `axis_name`, landmarks+observations are sharded over the mesh:
+    the state-block contributions are psum-reduced over ICI while the
+    landmark blocks (U, Hll, bl) stay shard-local — the distributed
+    Schur-complement decomposition (BASELINE.md weak-scaling target)."""
+    S, L = w.S, w.L
+    D = S * DOF
+
+    Hpp, bp, U, Hll, bl, chi2 = _assemble_reproj(
+        w, T_cam_body, focal, opts, lm_offset)
 
     if axis_name is not None:
         # reduce the state-block (camera-camera) contributions over the
@@ -415,17 +430,60 @@ def marginalize_oldest(w: Window, T_cam_body: SE3, focal: jax.Array,
     """Slide the window: absorb state 0 into the dense prior, shift states
     down (reference: applyMarginalizationStrategy estimator.cpp:632 +
     MarginalizationError dense H/b maintenance marginalization_error.hpp:
-    67-329). v1 strategy: the IMU factor 0→1 and the existing prior are
-    linearized and state 0 is Schur-complemented out; reprojection factors
-    of state 0 are dropped (their landmarks usually have other anchors)."""
-    S = w.S
+    67-329, eigen-cleanup :329).
+
+    v2 strategy (OKVIS-style, VERDICT r2 item 3): the IMU factor 0→1, the
+    existing prior, AND the reprojection information of landmarks that
+    lose their multi-view support are all linearized before state 0 is
+    Schur-complemented out:
+
+    - landmarks observed by state 0 with ≥2 remaining observations keep
+      living in the window; only their state-0 observation row is dropped
+      (exactly the reference's behavior for well-tracked points);
+    - landmarks observed by state 0 whose remaining support is <2
+      observations are ABSORBED: all of their observations are
+      linearized, their 3-dof blocks are Schur-complemented (block
+      diagonal — cheap), and the resulting state-space information joins
+      the dense prior; the landmark is then removed from the window.
+      Under v1 these landmarks' visual information silently vanished.
+    """
+    S, L = w.S, w.L
     D = S * DOF
 
-    # H,b of factors touching state 0 at the current estimate
+    # ---- classify landmarks touched by state 0 ------------------------
+    lm_c = jnp.clip(w.obs_lm, 0, L - 1)
+    valid_obs = w.obs_valid & w.lm_valid[lm_c] & \
+        w.state_valid[jnp.clip(w.obs_state, 0, S - 1)]
+    obs0 = valid_obs & (w.obs_state == 0)
+    obs_rest = valid_obs & (w.obs_state >= 1)
+    has_obs0 = jnp.zeros((L,), bool).at[
+        jnp.where(obs0, lm_c, L)].set(True, mode="drop")
+    n_rest = jax.ops.segment_sum(
+        obs_rest.astype(jnp.int32), jnp.where(obs_rest, lm_c, L),
+        num_segments=L + 1)[:L]
+    absorb = w.lm_valid & has_obs0 & (n_rest < 2)
+
+    # ---- linearize the absorbed landmarks' full observation sets ------
+    wm = w._replace(obs_valid=valid_obs & absorb[lm_c])
+    Hpp_v, bp_v, U_v, Hll_v, bl_v, _ = _assemble_reproj(
+        wm, T_cam_body, focal, opts)
+    # Schur out the landmark blocks (block-diagonal): inactive blocks get
+    # a unit diagonal so the inverse exists and contributes nothing.
+    # Absorbed blocks are often rank-2 (single bearing): damp RELATIVE to
+    # the block scale — an absolute 1e-6 leaves cond ~1e10 and f32 LU
+    # returns NaN (observed on the live pipeline window).
+    diag_max = jnp.max(jnp.diagonal(Hll_v, axis1=-2, axis2=-1), axis=-1)
+    lam = (1e-4 * jnp.maximum(diag_max, 1e-3)
+           + jnp.where(absorb, 0.0, 1.0))
+    Hll_d = Hll_v + jnp.eye(3)[None] * lam[:, None, None]
+    Hll_inv = jnp.linalg.inv(Hll_d) * absorb[:, None, None]
+    Hll_inv = jnp.where(jnp.isfinite(Hll_inv), Hll_inv, 0.0)
+    H01 = Hpp_v - jnp.einsum("lia,lab,ljb->ij", U_v, Hll_inv, U_v)
+    b01 = bp_v - jnp.einsum("lia,lab,lb->i", U_v, Hll_inv, bl_v)
+
+    # ---- IMU factor 0→1 at the current estimate -----------------------
     r_imu, J_i, J_j = _imu_terms(w, opts)
     info0 = w.imu_info[0] * jnp.where(w.imu_valid[0], 1.0, 0.0)
-    H01 = jnp.zeros((D, D))
-    b01 = jnp.zeros((D,))
     Ji, Jj = J_i[0], J_j[0]
     H01 = H01.at[0:DOF, 0:DOF].add(Ji.T @ info0 @ Ji)
     H01 = H01.at[0:DOF, DOF:2 * DOF].add(Ji.T @ info0 @ Jj)
@@ -452,9 +510,16 @@ def marginalize_oldest(w: Window, T_cam_body: SE3, focal: jax.Array,
     H00_inv = jnp.linalg.inv(H00)
     H_marg = Hkk - Hk0 @ H00_inv @ H0k
     b_marg = b_tot[DOF:] - Hk0 @ H00_inv @ b_tot[0:DOF]
-    # symmetrize + clean small negative eigenvalues (reference eigendecomp
-    # cleanup marginalization_error.hpp:329)
+    # symmetrize + eigendecomposition cleanup: clamp the small/negative
+    # modes Schur roundoff produces (reference marginalization_error.hpp
+    # :329 does the same sqrt-factorization cleanup)
     H_marg = 0.5 * (H_marg + H_marg.T)
+    eigval, eigvec = jnp.linalg.eigh(H_marg)
+    # clamp ONLY the negative modes Schur roundoff produces — a relative
+    # threshold would also cut genuinely weak visual information (the
+    # gauge/IMU blocks put max(eig) around 1e8)
+    eigval = jnp.maximum(eigval, 0.0)
+    H_marg = (eigvec * eigval[None]) @ eigvec.T
 
     # shift into a [D,D] prior on the shifted states (last slot fresh)
     H_new = jnp.zeros((D, D)).at[:D - DOF, :D - DOF].set(H_marg)
@@ -470,7 +535,8 @@ def marginalize_oldest(w: Window, T_cam_body: SE3, focal: jax.Array,
         state_valid=jnp.concatenate([w.state_valid[1:],
                                      jnp.zeros((1,), bool)]),
         obs_state=w.obs_state - 1,
-        obs_valid=w.obs_valid & (w.obs_state >= 1),
+        obs_valid=w.obs_valid & (w.obs_state >= 1) & ~absorb[lm_c],
+        lm_valid=w.lm_valid & ~absorb,
         imu=imu_shift,
         imu_info=shift(w.imu_info),
         imu_valid=jnp.concatenate([w.imu_valid[1:],

@@ -870,27 +870,16 @@ class FrameHandlerVIO(FrameHandlerMono):
         super().__init__(cfg, cam, T_cam_body=T_cam_body, seed=seed,
                          imu_handler=imu_handler)
         from svo_pro_universal_tpu.backend import window_ba as wba_mod
-        from svo_pro_universal_tpu.backend.interface import BackendInterface
+        from svo_pro_universal_tpu.backend.device_interface import \
+            DeviceBackend
         opts = wba_mod.BAOptions(
             max_iter=cfg.backend.max_iterations,
             gravity=tuple(gravity) if gravity is not None
             else (0.0, 0.0, -9.81))
-        self.backend = BackendInterface(
+        self.backend = DeviceBackend(
             cam.focal_length, self.T_cam_body,
             num_keyframes=cfg.backend.num_keyframes,
             imu_params=imu_params, opts=opts)
-        self._jit_apply_backend = jax.jit(self._apply_backend)
-
-    def _apply_backend(self, ring, pool, frame, T_new: SE3,
-                       lm_slots, lm_pos):
-        """Write corrected pose + landmarks back (reference:
-        loadMapFromBundleAdjustment frame_handler_base.cpp:263-311)."""
-        pool = pool._replace(pos=pool.pos.at[lm_slots].set(
-            lm_pos, mode="drop"))
-        frame = frame._replace(T_cam_world=T_new)
-        frames = jax.tree.map(
-            lambda r, f: r.at[ring.last_added].set(f), ring.frames, frame)
-        return ring._replace(frames=frames), pool, frame
 
     def _process_tracking(self, img, timestamp: float) -> FrameResult:
         res = super()._process_tracking(img, timestamp)
@@ -900,24 +889,18 @@ class FrameHandlerVIO(FrameHandlerMono):
         if getattr(self, "_last_backend_chi2", None) is not None:
             self.stats["backend_chi2"] = self._last_backend_chi2
         if res.is_keyframe and self.backend is not None:
-            kf = self.last_frame
-            lids = np.asarray(jax.device_get(kf.landmark_id))
-            valid = np.asarray(jax.device_get(kf.valid_mask()))
-            lids = np.where(valid, lids, -1)
-            f = np.asarray(jax.device_get(kf.f))
-            lidc = jnp.clip(kf.landmark_id, 0, self.pool.capacity - 1)
-            lm_pos = np.asarray(jax.device_get(self.pool.pos[lidc]))
-            out = self.backend.add_keyframe(
-                timestamp, kf.T_cam_world, lids, f, lm_pos,
+            # device-resident: keyframe arrays and pool never leave the
+            # chip (round 2 pulled lids/bearings/positions to host here)
+            T_new, chi2 = self.backend.add_keyframe_device(
+                timestamp, self.last_frame, self.pool,
                 imu_handler=self.imu)
-            if out is not None:
-                ring, pool, frame = self._jit_apply_backend(
-                    self.ring, self.pool, self.last_frame,
-                    out.T_cam_world,
-                    jnp.asarray(out.lm_slots_pool), out.lm_pos)
-                self.ring, self.pool, self.last_frame = ring, pool, frame
-                self.stats["backend_chi2"] = out.chi2
-                self._last_backend_chi2 = out.chi2
+            ring, pool, frame = self.backend._jit_apply(
+                self.backend.state, self.ring, self.pool,
+                self.last_frame, T_new)
+            self.ring, self.pool, self.last_frame = ring, pool, frame
+            # host handler is sync anyway; one scalar read for stats
+            self.stats["backend_chi2"] = float(chi2)
+            self._last_backend_chi2 = self.stats["backend_chi2"]
         return res
 
 

@@ -112,6 +112,15 @@ class ImuHandler:
         self._acc = []
         self.gyro_bias = jnp.asarray(self.init.omega_bias, jnp.float32)
         self.acc_bias = jnp.asarray(self.init.acc_bias, jnp.float32)
+        self._bias_np_cache = None      # (id(gyro_bias), np value)
+
+    def _gyro_bias_np(self) -> np.ndarray:
+        """Host copy of the gyro bias, re-fetched only when it changes."""
+        if (self._bias_np_cache is None
+                or self._bias_np_cache[0] is not self.gyro_bias):
+            self._bias_np_cache = (self.gyro_bias,
+                                   np.asarray(self.gyro_bias))
+        return self._bias_np_cache[1]
 
     def add_measurement(self, t: float, gyro, acc) -> None:
         self._t.append(float(t))
@@ -153,6 +162,32 @@ class ImuHandler:
         return ImuWindow(jnp.asarray(t_rel), jnp.asarray(g), jnp.asarray(a),
                          jnp.asarray(v))
 
+    def window_packed(self, t0: float, t1: float) -> np.ndarray:
+        """Like :meth:`window_between` but ONE packed numpy [M, 8] array
+        (t_rel, gyro×3, acc×3, valid) with times RELATIVE to ``t1`` —
+        a single host→device upload per frame instead of four (each
+        upload pays tunnel latency on the per-frame path)."""
+        d = self.params.delay_imu_cam
+        t0s, t1s = t0 - d, t1 - d
+        m = self.window_size
+        out = np.zeros((m, 8), np.float32)
+        ts = np.asarray(self._t, np.float64)
+        if len(ts) == 0:
+            return out
+        i0 = max(int(np.searchsorted(ts, t0s, "right")) - 1, 0)
+        i1 = min(int(np.searchsorted(ts, t1s, "left")) + 1, len(ts))
+        sel = slice(i0, min(i1, i0 + m))
+        tt = ts[sel]
+        n = len(tt)
+        if n == 0:
+            return out
+        out[:n, 0] = (tt - t1).astype(np.float32)
+        out[n:, 0] = out[n - 1, 0]
+        out[:n, 1:4] = np.stack(self._gyro[sel])
+        out[:n, 4:7] = np.stack(self._acc[sel])
+        out[:n, 7] = 1.0
+        return out
+
     def relative_rotation_prior(self, t0: float, t1: float,
                                 T_cam_body: SE3) -> SE3:
         """Camera-frame rotation prior R_cam1_cam0 from gyro integration
@@ -181,7 +216,11 @@ class ImuHandler:
         i0 = max(int(np.searchsorted(ts, t0 - d, "right")) - 1, 0)
         i1 = min(int(np.searchsorted(ts, t1 - d, "left")) + 1, len(ts))
         R = np.eye(3)
-        bg = np.asarray(self.gyro_bias)
+        # CACHED numpy bias: np.asarray(device_array) here would be a
+        # device→host read EVERY frame (~25 ms on the axon tunnel and it
+        # permanently degrades dispatch latency — measured: VIO bench
+        # collapsed 131→20 fps through exactly this line)
+        bg = self._gyro_bias_np()
         for k in range(i0, i1 - 1):
             dt = ts[k + 1] - ts[k]
             if dt <= 0:

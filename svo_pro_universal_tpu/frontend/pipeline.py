@@ -388,13 +388,15 @@ class DevicePipelineMono(FrameHandlerMono):
         return None
 
     def _motion_prior_device(self, timestamp: float) -> SE3:
-        """Constant-velocity + optional gyro prior, with NO device reads."""
+        """Constant-velocity + optional gyro prior, with NO device reads
+        and no per-frame eager device ops (the matrix→quat conversion
+        runs in numpy; each eager op would pay tunnel dispatch)."""
         if self.imu is None or self._last_ts is None:
             return self.world.T_rel_prev
         R = self.imu.relative_rotation_prior_np(
             self._last_ts, timestamp, self._R_cam_body_np)
-        from svo_pro_universal_tpu.utils.transform import matrix_to_quat
-        q = matrix_to_quat(jnp.asarray(R, jnp.float32))
+        from svo_pro_universal_tpu.utils.transform import matrix_to_quat_np
+        q = jnp.asarray(matrix_to_quat_np(R))
         return SE3(q, self.world.T_rel_prev.t)
 
     def _sync_result(self):

@@ -109,6 +109,36 @@ def matrix_to_quat(m: jax.Array) -> jax.Array:
     return q * jnp.where(q[..., 0:1] < 0, -1.0, 1.0)
 
 
+def matrix_to_quat_np(m) -> "np.ndarray":
+    """Host (numpy) rotation matrix → wxyz quaternion — for per-frame
+    host paths where one eager device op would pay tunnel dispatch
+    latency (e.g. the motion prior in the device pipelines)."""
+    import numpy as np
+    m = np.asarray(m, np.float64)
+    tr = m[0, 0] + m[1, 1] + m[2, 2]
+    cands = [tr, m[0, 0] - m[1, 1] - m[2, 2],
+             m[1, 1] - m[0, 0] - m[2, 2], m[2, 2] - m[0, 0] - m[1, 1]]
+    i = int(np.argmax(cands))
+    if i == 0:
+        q = np.array([1.0 + tr, m[2, 1] - m[1, 2], m[0, 2] - m[2, 0],
+                      m[1, 0] - m[0, 1]])
+    elif i == 1:
+        q = np.array([m[2, 1] - m[1, 2], 1.0 + m[0, 0] - m[1, 1] - m[2, 2],
+                      m[0, 1] + m[1, 0], m[0, 2] + m[2, 0]])
+    elif i == 2:
+        q = np.array([m[0, 2] - m[2, 0], m[0, 1] + m[1, 0],
+                      1.0 + m[1, 1] - m[0, 0] - m[2, 2],
+                      m[1, 2] + m[2, 1]])
+    else:
+        q = np.array([m[1, 0] - m[0, 1], m[0, 2] + m[2, 0],
+                      m[1, 2] + m[2, 1],
+                      1.0 + m[2, 2] - m[0, 0] - m[1, 1]])
+    q = q / np.linalg.norm(q)
+    if q[0] < 0:
+        q = -q
+    return q.astype(np.float32)
+
+
 def skew(v: jax.Array) -> jax.Array:
     x, y, z = jnp.moveaxis(v, -1, 0)
     zero = jnp.zeros_like(x)

@@ -95,3 +95,88 @@ def test_optimized_landmarks_and_pool_reinjection(rng):
                           ids=pool.ids.at[s[0]].set(-7))
     ok2 = pool2.valid[s] & (pool2.ids[s] == jnp.asarray(uids_out))
     assert not bool(ok2[0]) and bool(ok2[1:].all())
+
+
+@pytest.mark.slow
+def test_global_map_absorbs_200_keyframes_bounded(rng):
+    """Unbounded absorption with bounded memory (VERDICT r2 item 4): feed
+    200 keyframes through a 16-state ring; the map must keep optimizing
+    (no hard stop), evict oldest-first, and still refine the RECENT
+    poses it holds. Window shapes are fixed, so memory is bounded by
+    construction — the assertions check behavior, not just survival."""
+    lm = rng.uniform([-3, -3, 2], [9, 3, 8], (160, 3)).astype(np.float32)
+    opts = GlobalMapOptions(max_keyframes=16, max_landmarks=256,
+                            max_obs=1600, optimize_every=8, ba_iters=4)
+    gm = GlobalMap(300.0, SE3.identity(), opts)
+    n_kf = 200
+    true_p = []
+    ran = 0
+    for k in range(n_kf):
+        tw = jnp.asarray([0.04 * k, 0.05 * np.sin(0.2 * k), 0.01 * k,
+                          0.0, 0.005 * np.sin(0.1 * k), 0.0], jnp.float32)
+        T_w_b = SE3(so3_exp(tw[3:]), tw[:3])
+        true_p.append(np.asarray(T_w_b.t))
+        dp = (rng.normal(0, 0.02, 3).astype(np.float32)
+              if k > 0 else np.zeros(3, np.float32))
+        T_cam_world = SE3(T_w_b.q, T_w_b.t + dp).inverse()
+        pb = quat_rotate(quat_conjugate(T_w_b.q),
+                         jnp.asarray(lm) - T_w_b.t[None])
+        vis = np.asarray((pb[:, 2] > 0.5) & (pb[:, 2] < 8.0))
+        f = np.asarray(pb / jnp.linalg.norm(pb, axis=-1, keepdims=True))
+        lids = np.where(vis, np.arange(len(lm)), -1)
+        lm_noisy = lm + rng.normal(0, 0.01, lm.shape).astype(np.float32)
+        out = gm.add_keyframe(k, T_cam_world, lids, f, lm_noisy)
+        ran += out is not None
+    assert ran > 10, "BA stopped running after the ring filled"
+    assert len(gm) == opts.max_keyframes          # ring, not a hard stop
+    assert gm.kf_ids == list(range(n_kf - opts.max_keyframes, n_kf))
+    gm.force_optimize()
+    p_opt, ids = gm.keyframe_poses()
+    held = np.stack([true_p[i] for i in ids])
+    errs = np.linalg.norm(p_opt - held, axis=-1)
+    assert np.isfinite(errs).all()
+    assert errs.mean() < 0.03, errs
+
+
+def test_global_map_imu_factors_constrain_states(rng):
+    """IMU factors between consecutive global states (reference:
+    CombinedImuFactor graph_manager.cpp:331-360): with visual obs removed
+    for one state, the IMU chain still fixes its relative pose."""
+    from svo_pro_universal_tpu.backend import imu_factor as imf
+    from svo_pro_universal_tpu.frontend.imu_handler import ImuWindow
+    opts = GlobalMapOptions(max_keyframes=8, max_landmarks=128,
+                            max_obs=800, optimize_every=100, ba_iters=6,
+                            pose_anchor_sigma_t=5.0, pose_anchor_sigma_r=5.0)
+    gm = GlobalMap(300.0, SE3.identity(), opts)
+    lm = rng.uniform([-2, -2, 2], [3, 2, 6], (60, 3)).astype(np.float32)
+    dt_kf = 0.25
+    vel = np.array([0.4, 0.0, 0.0], np.float32)
+    # stationary-rotation-free segments at constant velocity
+    n_s = 51
+    t_seg = jnp.linspace(0.0, dt_kf, n_s)
+    win = ImuWindow(t_seg, jnp.zeros((n_s, 3)),
+                    jnp.tile(jnp.asarray([0.0, 0.0, 9.81]), (n_s, 1)),
+                    jnp.ones((n_s,), bool))
+    factor = imf.preintegrate_with_cov(win, jnp.zeros(3), jnp.zeros(3),
+                                       1e-3, 1e-2)
+    info = imf.imu_information(factor, 1e-4, 1e-3)
+    for k in range(6):
+        p_k = vel * dt_kf * k
+        T_w_b = SE3(jnp.asarray([1.0, 0, 0, 0]), jnp.asarray(p_k))
+        pb = jnp.asarray(lm) - T_w_b.t[None]
+        f = np.asarray(pb / jnp.linalg.norm(pb, axis=-1, keepdims=True))
+        # state 3 is made blind: no visual observations at all
+        lids = (np.full(len(lm), -1) if k == 3
+                else np.where(np.asarray(pb[:, 2] > 0.3),
+                              np.arange(len(lm)), -1))
+        # feed a corrupted pose for the blind state
+        dp = np.array([0.3, -0.2, 0.15], np.float32) if k == 3 else 0.0
+        T_feed = SE3(T_w_b.q, T_w_b.t + dp).inverse()
+        gm.add_keyframe(k, T_feed, lids, f, lm,
+                        imu_factor=factor, imu_info=info)
+    gm.force_optimize()
+    p_opt, _ = gm.keyframe_poses()
+    err3 = np.linalg.norm(p_opt[3] - vel * dt_kf * 3)
+    # without IMU the blind state keeps its 0.39 m corruption (only the
+    # weak anchor acts); the IMU chain must pull it back
+    assert err3 < 0.08, (err3, p_opt)

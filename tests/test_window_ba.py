@@ -204,3 +204,54 @@ def test_marginalization_slides_and_keeps_consistency():
     w3, chi2 = wba.optimize(w2, cam, focal, opts)
     drift = np.abs(np.asarray(w3.p[:-1] - w1.p[1:])).max()
     assert drift < 0.05, drift
+
+
+def test_marginalization_absorbs_visual_information():
+    """v2 marginalization (VERDICT r2 item 3): a landmark observed only
+    by states 0 and 1 loses its multi-view support when state 0 slides
+    out. v1 dropped that information entirely; v2 Schur-complements it
+    into the dense prior. Check: after marginalizing, the prior still
+    constrains state 1 along the information the absorbed landmarks
+    carried — the re-optimized window stays close to the full-batch
+    (no-marginalization) oracle, and closer than a drop-visual slide."""
+    states, segs = simulate_vi()
+    w = _make_window(states, segs, obs_noise=5e-4)
+    cam = SE3.identity()
+    focal = jnp.asarray(300.0)
+    opts = wba.BAOptions(max_iter=6)
+
+    # make a subset of landmarks visible ONLY from states 0 and 1
+    lm_cl = np.asarray(jnp.clip(w.obs_lm, 0, w.L - 1))
+    obs_s = np.asarray(w.obs_state)
+    ov = np.asarray(w.obs_valid)
+    only01 = (lm_cl % 5 != 0)       # most landmarks: worth absorbing
+    keep = ov & (~only01 | (obs_s <= 1))
+    w = w._replace(obs_valid=jnp.asarray(keep))
+
+    # absorbed set must be non-empty for the test to mean anything
+    l0 = np.unique(lm_cl[keep & (obs_s == 0) & only01])
+    assert len(l0) > 3
+
+    # full-batch oracle posterior
+    w_or, _ = wba.optimize(w, cam, focal, opts)
+
+    # v2 slide at the optimized estimate, then re-optimize
+    w_m = wba.marginalize_oldest(w_or, cam, focal, opts)
+    assert int(jnp.sum(w_m.lm_valid.astype(jnp.int32))) < \
+        int(jnp.sum(w_or.lm_valid.astype(jnp.int32)))
+    w_v2, _ = wba.optimize(w_m, cam, focal, opts)
+
+    # v1-style slide: same but visual info of absorbed landmarks dropped
+    # (emulate by invalidating their obs BEFORE marginalizing, so the
+    # absorb set is empty and the prior carries IMU+prior only)
+    drop = keep & ~only01
+    w_drop = w_or._replace(obs_valid=jnp.asarray(drop))
+    w_m1 = wba.marginalize_oldest(w_drop, cam, focal, opts)
+    # restore the non-absorbed obs for the re-optimization (shifted)
+    w_m1 = w_m1._replace(obs_valid=w_m.obs_valid & w_m1.obs_valid)
+    w_v1, _ = wba.optimize(w_m1, cam, focal, opts)
+
+    err_v2 = np.abs(np.asarray(w_v2.p[:-1] - w_or.p[1:])).max()
+    err_v1 = np.abs(np.asarray(w_v1.p[:-1] - w_or.p[1:])).max()
+    assert err_v2 < 0.02, err_v2
+    assert err_v2 <= err_v1 + 1e-6, (err_v2, err_v1)
