@@ -63,6 +63,12 @@ class DeviceBackend:
         self.focal = jnp.asarray(cam_focal)
         self.opts = opts or wba.BAOptions(max_iter=3)
         self.imu_params = imu_params
+        # ingestion residual gate (px) — see _add_keyframe
+        self.ingest_gate_px = 5.0
+        # scale-stability gate on applying corrections (reference:
+        # frame_handler_base.cpp:256-310): reject a backend pose update
+        # whose translation jump exceeds this fraction of scene scale
+        self.max_pose_correction = 0.5
         self.n_states = 0               # host-side count only (no reads)
         self._ts: list[float] = []
         self.state = DeviceBackendState(
@@ -118,8 +124,22 @@ class DeviceBackend:
                     write | w.imu_valid[ki]))
 
         # ---- feature compaction: first `mok` landmark-backed features --
+        # Ingestion gate: a frontend-tracked feature should reproject its
+        # pool landmark within ~1–2 px at the fed pose; rows violating
+        # that are stale associations (seed-churned landmarks, occlusion)
+        # and would enter the window as gross outliers — measured p99 of
+        # 700 px on the live pipeline before this gate.
+        P = pool_pos.shape[0]
+        Xw = pool_pos[jnp.clip(lids, 0, P - 1)]
+        p_c = T_cam_world.apply(Xw)
+        zi = 1.0 / jnp.where(jnp.abs(p_c[:, 2:3]) > 1e-8, p_c[:, 2:3], 1e-8)
+        uv_lm = p_c[:, 0:2] * zi
+        uv_ft = bearings[:, 0:2] / jnp.where(
+            jnp.abs(bearings[:, 2:3]) > 1e-8, bearings[:, 2:3], 1e-8)
+        e_px = jnp.linalg.norm(uv_lm - uv_ft, axis=-1) * self.focal
         n = lids.shape[0]
-        ok = valid & (lids >= 0)
+        ok = (valid & (lids >= 0) & (p_c[:, 2] > 1e-3)
+              & (e_px < self.ingest_gate_px))
         score = jnp.where(ok, -jnp.arange(n, dtype=jnp.float32), -jnp.inf)
         _, sel = jax.lax.top_k(score, min(mok, n))
         if sel.shape[0] < mok:
@@ -209,14 +229,40 @@ class DeviceBackend:
 
     def _apply_program(self, st, ring, pool, frame, T_new: SE3):
         """Merge corrections into the frontend state (reference:
-        loadMapFromBundleAdjustment frame_handler_base.cpp:263-311)."""
+        loadMapFromBundleAdjustment frame_handler_base.cpp:263-311),
+        gated like the reference's scale-stability check (:256-310):
+
+        - the pose update is rejected wholesale when its translation jump
+          exceeds ``max_pose_correction`` (an unstable window solve must
+          not corrupt a healthy frontend);
+        - landmark positions feed back ONLY for slots with ≥2 live window
+          observations AND a bounded relative displacement — the frontend
+          (depth filter + per-frame structure GN) stays the owner of
+          weakly-constrained points. Unconditional overwrites measurably
+          starved tracking (bench: n_tracked decayed to collapse)."""
         w = st.window
+        L = self.L
         P = pool.capacity
-        tgt = jnp.where((st.slot_lid >= 0) & w.lm_valid,
-                        st.slot_lid, P)
+
+        dt_jump = jnp.linalg.norm(T_new.t - frame.T_cam_world.t)
+        pose_ok = dt_jump < self.max_pose_correction
+        T_use = jax.tree.map(lambda a, b: jnp.where(pose_ok, a, b),
+                             T_new, frame.T_cam_world)
+
+        n_obs = jax.ops.segment_sum(
+            w.obs_valid.astype(jnp.int32),
+            jnp.where(w.obs_valid, jnp.clip(w.obs_lm, 0, L - 1), L),
+            num_segments=L + 1)[:L]
+        old_pos = pool.pos[jnp.clip(st.slot_lid, 0, P - 1)]
+        disp = jnp.linalg.norm(w.lm_pos - old_pos, axis=-1)
+        depth = jnp.maximum(jnp.linalg.norm(
+            w.lm_pos - T_use.inverse().t[None], axis=-1), 1e-3)
+        lm_ok = ((st.slot_lid >= 0) & w.lm_valid & (n_obs >= 2)
+                 & (disp < 0.2 * depth) & pose_ok)
+        tgt = jnp.where(lm_ok, st.slot_lid, P)
         pool = pool._replace(pos=pool.pos.at[tgt].set(
             w.lm_pos, mode="drop"))
-        frame = frame._replace(T_cam_world=T_new)
+        frame = frame._replace(T_cam_world=T_use)
         frames = jax.tree.map(
             lambda r, f: r.at[ring.last_added].set(f), ring.frames, frame)
         return ring._replace(frames=frames), pool, frame

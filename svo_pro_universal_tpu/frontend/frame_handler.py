@@ -151,9 +151,19 @@ class FrameHandlerMono:
     # ------------------------------------------------------------------
     # jitted stage programs
     # ------------------------------------------------------------------
-    def _stage_align(self, ring, pool, last_frame, cur_pyramid, T_prior_rel):
+    def _extra_align_inputs(self, ring, pool, last_frame, extra):
+        """Secondary-camera CameraInputs for JOINT multi-camera alignment
+        (reference: the bundle loop in sparse_img_align.cpp:265-318 runs
+        over every frame of the FrameBundle). Mono: none. Stereo/Array
+        override this to project the primary features into each secondary
+        camera and align against its photometry too."""
+        return []
+
+    def _stage_align(self, ring, pool, last_frame, cur_pyramid, T_prior_rel,
+                     extra=None):
         """Stage 1: sparse image alignment vs the last frame (reference:
-        sparseImageAlignment frame_handler_base.cpp:610-644).
+        sparseImageAlignment frame_handler_base.cpp:610-644), jointly over
+        all rig cameras when `extra` supplies their pyramids.
         Returns (T_cur_world, align_stats)."""
         cfg = self.cfg
         xyz_w, has_pt = _feature_world_points(last_frame, ring, pool)
@@ -164,6 +174,8 @@ class FrameHandlerMono:
             pyr_ref=last_frame.pyramid, pyr_cur=cur_pyramid,
             px_ref=last_frame.px, f_ref=last_frame.f, depth_ref=depth_ref,
             valid=valid_align, T_cam_body=self.T_cam_body, cam=self.cam)
+        inputs = [inp] + self._extra_align_inputs(ring, pool, last_frame,
+                                                  extra)
         opts = sia_mod.SparseImgAlignOptions(
             max_level=cfg.img_align.max_level,
             min_level=cfg.img_align.min_level,
@@ -179,7 +191,7 @@ class FrameHandlerMono:
         st0 = sia_mod.AlignState(T_prior_body, jnp.asarray(0.0),
                                  jnp.asarray(0.0))
         align_state, align_stats = sia_mod.run(
-            [inp], st0, opts,
+            inputs, st0, opts,
             T_prior=T_prior_body if (cfg.base.img_align_prior_lambda_rot > 0
                                      ) else None)
         T_cur_world = (self.T_cam_body.compose(align_state.T_icur_iref)
@@ -360,16 +372,17 @@ class FrameHandlerMono:
                     kf_too_close=jnp.any(close))
 
     def _tracking_step(self, ring, pool, last_frame, cur_frame, T_prior_rel,
-                       depth_scalars):
+                       depth_scalars, extra=None):
         """Sparse align → reproject → pose opt → structure opt → seed
         update. One fused device program per tracked frame, composed from
         the named stage methods above (which utils/stage_profile.py times
-        individually)."""
+        individually). `extra` carries secondary-camera pyramids for
+        joint multi-camera alignment (stereo/array handlers)."""
         cfg = self.cfg
 
         # ---- 1. sparse image alignment (vs last frame) ----------------
         T_cur_world, align_stats = self._stage_align(
-            ring, pool, last_frame, cur_frame.pyramid, T_prior_rel)
+            ring, pool, last_frame, cur_frame.pyramid, T_prior_rel, extra)
 
         # ---- 2. reproject map -----------------------------------------
         ov = overlap_mask(ring, T_cur_world, cfg.reprojector.max_n_kfs)
@@ -528,7 +541,8 @@ class FrameHandlerMono:
         "is_kf", "kf_upgraded", "kf_new_seeds")
 
     def _frame_program(self, ring, pool, last_frame, img, timestamp,
-                       T_prior_rel, depth_scalars, frames_since_kf, key):
+                       T_prior_rel, depth_scalars, frames_since_kf, key,
+                       extra=None):
         """ONE device program per tracked frame: pyramid → tracking step →
         on-device keyframe decision → conditional keyframe step. The host
         reads back a single stats vector + the pose — the dispatch-latency
@@ -538,7 +552,7 @@ class FrameHandlerMono:
                                T_cam_body=self.T_cam_body,
                                timestamp=timestamp)
         ring, pool, frame, stats = self._tracking_step(
-            ring, pool, last_frame, cur, T_prior_rel, depth_scalars)
+            ring, pool, last_frame, cur, T_prior_rel, depth_scalars, extra)
 
         # --- keyframe decision on device (reference needNewKf gates) ----
         cfgb = self.cfg.base
@@ -781,13 +795,18 @@ class FrameHandlerMono:
         self.frames_since_kf = 0
         self.stage = Stage.TRACKING
 
+    def _align_extra(self):
+        """Secondary-camera pyramids for joint alignment (stereo/array)."""
+        return None
+
     def _process_tracking(self, img, timestamp: float) -> FrameResult:
         """One device program + one stats read-back per frame."""
         out = self._jit_frame(
             self.ring, self.pool, self.last_frame, jnp.asarray(img),
             jnp.float32(timestamp), self._motion_prior(timestamp),
             self._depth_state,
-            jnp.int32(self.frames_since_kf), self.rng_key)
+            jnp.int32(self.frames_since_kf), self.rng_key,
+            self._align_extra())
         ring, pool, frame, T_rel, depth_state, stats_vec, pose = out
         sv = np.asarray(stats_vec)                    # single transfer
         stats = dict(zip(self.STATS_KEYS, sv.tolist()))
@@ -953,8 +972,39 @@ class FrameHandlerArray(FrameHandlerMono):
         ring = insert_keyframe(ring, frame, slot_kf)
         return ring, pool, frame, jnp.sum(ok.astype(jnp.int32))
 
+    def _align_extra(self):
+        if getattr(self, "_pyr_others_last", None) is None:
+            return None
+        return dict(pyr_last=list(self._pyr_others_last),
+                    pyr_cur=list(self._pyr_others))
+
+    def _extra_align_inputs(self, ring, pool, last_frame, extra):
+        """Joint N-camera alignment (reference: frame_handler_array.cpp
+        :38-204 + the per-frame bundle loop of sparse_img_align.cpp):
+        one CameraInput per secondary camera, primary features' points
+        projected into each."""
+        if extra is None:
+            return []
+        xyz_w, has_pt = _feature_world_points(last_frame, ring, pool)
+        out = []
+        for i, T_rel in enumerate(self.T_c_c0):
+            T_ci_world = T_rel.compose(last_frame.T_cam_world)
+            p_ci = T_ci_world.apply(xyz_w)
+            pxi, oki = proj.project(self.cams[i + 1], p_ci)
+            depth_i = jnp.linalg.norm(p_ci, axis=-1)
+            fi = p_ci / jnp.maximum(depth_i[:, None], 1e-9)
+            valid = (last_frame.valid_mask() & has_pt & oki
+                     & (p_ci[:, 2] > 0.1))
+            out.append(sia_mod.CameraInput(
+                pyr_ref=extra["pyr_last"][i], pyr_cur=extra["pyr_cur"][i],
+                px_ref=pxi, f_ref=fi, depth_ref=depth_i, valid=valid,
+                T_cam_body=T_rel.compose(self.T_cam_body),
+                cam=self.cams[i + 1]))
+        return out
+
     def add_image_bundle(self, images, timestamp: float) -> FrameResult:
         """images: one per camera, cam0 first."""
+        self._pyr_others_last = getattr(self, "_pyr_others", None)
         self._pyr_others = [build_pyramid(image_to_float(im), self.n_levels)
                             for im in images[1:]]
         return self.add_image(images[0], timestamp)
@@ -1044,9 +1094,39 @@ class FrameHandlerStereo(FrameHandlerMono):
         ring = insert_keyframe(ring, frame, slot_kf)
         return ring, pool, frame, jnp.sum(ok.astype(jnp.int32))
 
+    def _align_extra(self):
+        if getattr(self, "_pyr1_last", None) is None:
+            return None
+        return dict(pyr_last=[self._pyr1_last], pyr_cur=[self._pyr1])
+
+    def _extra_align_inputs(self, ring, pool, last_frame, extra):
+        """JOINT stereo alignment (reference: frame_handler_stereo.cpp
+        :66-213 aligns the whole bundle): project the primary features'
+        3D points into the right camera at the last-frame pose and add a
+        right-image photometric CameraInput. Features whose point falls
+        outside the right view are masked — the normal system simply sums
+        both cameras' contributions (sparse_img_align.run takes a list)."""
+        if extra is None:
+            return []
+        xyz_w, has_pt = _feature_world_points(last_frame, ring, pool)
+        T_c1_world = self.T_c1_c0.compose(last_frame.T_cam_world)
+        p_c1 = T_c1_world.apply(xyz_w)
+        px1, ok1 = proj.project(self.cam1, p_c1)
+        depth1 = jnp.linalg.norm(p_c1, axis=-1)
+        f1 = p_c1 / jnp.maximum(depth1[:, None], 1e-9)
+        valid = (last_frame.valid_mask() & has_pt & ok1
+                 & (p_c1[:, 2] > 0.1))
+        T_cam1_body = self.T_c1_c0.compose(self.T_cam_body)
+        return [sia_mod.CameraInput(
+            pyr_ref=extra["pyr_last"][0], pyr_cur=extra["pyr_cur"][0],
+            px_ref=px1, f_ref=f1, depth_ref=depth1, valid=valid,
+            T_cam_body=T_cam1_body, cam=self.cam1)]
+
     def add_image_pair(self, img0, img1, timestamp: float) -> FrameResult:
+        self._pyr1_last = getattr(self, "_pyr1", None)
         self._pyr1 = build_pyramid(image_to_float(img1), self.n_levels)
-        return self.add_image(img0, timestamp)
+        res = self.add_image(img0, timestamp)
+        return res
 
     def _process_first_frame(self, frame: FrameState) -> FrameResult:
         self.rng_key, k = jax.random.split(self.rng_key)

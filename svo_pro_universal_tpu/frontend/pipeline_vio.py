@@ -75,12 +75,15 @@ class DevicePipelineVIO(DevicePipelineMono):
     def __init__(self, cfg: Config, cam: proj.Camera,
                  T_cam_body: Optional[SE3] = None, seed: int = 0,
                  imu_handler=None, trace_capacity: int = 8192,
-                 imu_params=None):
+                 imu_params=None, gravity=None):
         self._backend_tpl = dbe.DeviceBackend(
             cam.focal_length, T_cam_body or SE3.identity(),
             num_keyframes=cfg.backend.num_keyframes,
             imu_params=imu_params,
-            opts=wba.BAOptions(max_iter=cfg.backend.max_iterations))
+            opts=wba.BAOptions(
+                max_iter=cfg.backend.max_iterations,
+                gravity=tuple(gravity) if gravity is not None
+                else (0.0, 0.0, -9.81)))
         self._imu_m = (imu_handler.window_size
                        if imu_handler is not None else 16)
         super().__init__(cfg, cam, T_cam_body=T_cam_body, seed=seed,

@@ -62,7 +62,8 @@ def test_device_vio_zero_readback_tracks():
     cfg.backend.max_iterations = 3
     imu = ImuHandler(ImuParams())
     h = DevicePipelineVIO(cfg, CAM, imu_handler=imu,
-                          imu_params=ImuParams(), trace_capacity=64)
+                          imu_params=ImuParams(), trace_capacity=64,
+                          gravity=tuple(G_W))
 
     imu_stream, cam_poses, cam_ts = simulate_fast()
     i_imu = 0
