@@ -90,7 +90,9 @@ def main():
     cfg.detector.threshold_primary = 8.0
     cfg.init.init_min_disparity = 20.0
     cfg.init.reproj_error_thresh = 1.0
-    cfg.init.expected_avg_depth = 2.0
+    # scene depth prior: the sphere+plane scene spans ~2.8-4.5 m
+    # (the reference ships per-dataset depth priors the same way)
+    cfg.init.expected_avg_depth = 4.0
     cfg.init.init_min_features = 60
     cfg.init.init_min_tracked = 40
     cfg.init.init_min_inliers = 30
@@ -121,6 +123,11 @@ def main():
 
     poses = [se3_exp(jnp.asarray(twist(float(t)))) for t in range(n_frames)]
     frames = [np.asarray(render_j(p)).astype(np.uint8) for p in poses]
+    # camera-realistic degradation (exposure drift, vignetting, motion
+    # blur, sensor noise): the fps/ATE below are measured on DEGRADED
+    # imagery, not a clean render (VERDICT r2 item 7)
+    from svo_pro_universal_tpu.testing.synthetic import degrade_sequence
+    frames = degrade_sequence(frames, seed=7)
 
     # ---- consistent IMU stream at 200 Hz by finite differences ---------
     # body = camera; T_w_b(t) = T_cam_world(t)^-1; gravity (0,0,-9.81)
@@ -190,10 +197,29 @@ def main():
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline_fps, 3),
-        "config": "mono_vio",
+        "config": "mono_vio_degraded_imagery",
         "backend_keyframes": int(np.asarray(handler.world.backend_k)),
         "n_tracking": n_tracking,
     }
+
+    # ---- trajectory accuracy from the SAME run (VERDICT r2 item 7) ----
+    try:
+        from svo_pro_universal_tpu.evaluation import ate_rmse
+        first_track = int(np.argmax(
+            meta[:, 0].astype(int) == Stage.TRACKING.value))
+        gt = np.stack([np.asarray(p.inverse().t)
+                       for p in poses[first_track:]])
+        ep = mats[first_track:, :3, 3]
+        rmse_sim3, a3 = ate_rmse(ep, gt, align="sim3")
+        rmse_se3, _ = ate_rmse(ep, gt, align="se3")
+        traj_len = float(np.linalg.norm(np.diff(gt, axis=0),
+                                        axis=-1).sum())
+        out["ate_m"] = round(float(rmse_sim3), 4)
+        out["ate_se3_m"] = round(float(rmse_se3), 4)
+        out["scale_error"] = round(abs(float(a3.s) - 1.0), 4)
+        out["traj_len_m"] = round(traj_len, 2)
+    except Exception as e:
+        out["ate_error"] = str(e)[:200]
 
     # ---- per-stage device throughput + roofline (VERDICT r2 item 1) ----
     # Times each _stage_* program at the live world state via marginal
@@ -204,9 +230,17 @@ def main():
                 pallas_supported
             from svo_pro_universal_tpu.utils import stage_profile as sp
             w = handler.world
-            prof = sp.profile_frontend(
-                handler, w.ring, w.pool, w.last_frame, w.depth_state,
-                reps=32)
+            prof = None
+            for attempt in range(3):     # the remote-compile tunnel can
+                try:                     # drop a response transiently
+                    prof = sp.profile_frontend(
+                        handler, w.ring, w.pool, w.last_frame,
+                        w.depth_state, reps=32)
+                    break
+                except Exception:
+                    if attempt == 2:
+                        raise
+                    time.sleep(5.0)
             out["stages_ms"] = {k: round(v * 1e3, 3)
                                 for k, v in prof.items()}
             out["roofline"] = {

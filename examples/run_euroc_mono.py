@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--out", default="/tmp/svo_tpu_traj.txt")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--eval", action="store_true")
+    ap.add_argument("--trace-dir", default=None,
+                    help="write a per-frame tracefile CSV compatible "
+                         "with the reference's timing analyzers")
     args = ap.parse_args()
 
     from svo_pro_universal_tpu.cameras.rig import load_rig_yaml
@@ -42,6 +45,14 @@ def main():
     handler = FrameHandlerMono(cfg, rig.cameras[0],
                                T_cam_body=rig.T_cam_body(0))
 
+    # per-frame tracefile (reference: vk::PerformanceMonitor tracefile,
+    # frame_handler_base.cpp:89-120; parsed by the reference's
+    # analyze_vio_timing.py unchanged)
+    pm = None
+    if args.trace_dir:
+        from svo_pro_universal_tpu.utils.perf import make_frontend_monitor
+        pm = make_frontend_monitor(args.trace_dir)
+
     ds = EurocDataset(args.dataset)
     stamps, poses = [], []
     n = 0
@@ -50,7 +61,23 @@ def main():
         if ev[0] != "image":
             continue
         sample = ev[1]
+        if pm:
+            pm.start_timer("frontend_time")
         res = handler.add_image(sample.load(), sample.timestamp)
+        if pm:
+            pm.stop_timer("frontend_time")
+            pm.log("timestamp", sample.timestamp)
+            pm.log("img_align_n_tracked",
+                   handler.stats.get("align_fts", 0))
+            pm.log("repr_n_matches",
+                   handler.stats.get("reproj_matches", 0))
+            pm.log("sfba_error_before",
+                   handler.stats.get("pose_err_before", 0.0))
+            pm.log("sfba_error_after",
+                   handler.stats.get("pose_err_after", 0.0))
+            pm.log("sfba_n_edges_final",
+                   handler.stats.get("n_inliers", 0))
+            pm.write_to_file()
         stamps.append(sample.timestamp)
         poses.append(res.T_world_cam)
         n += 1

@@ -69,6 +69,10 @@ class DeviceBackend:
         # frame_handler_base.cpp:256-310): reject a backend pose update
         # whose translation jump exceeds this fraction of scene scale
         self.max_pose_correction = 0.5
+        # zero-motion (ZUPT) detection thresholds + prior strength
+        self.zupt_gyro_thresh = 0.015    # rad/s incl. mean
+        self.zupt_acc_thresh = 0.12      # m/s² deviation from mean
+        self.zupt_sigma_v = 0.02         # m/s
         self.n_states = 0               # host-side count only (no reads)
         self._ts: list[float] = []
         self.state = DeviceBackendState(
@@ -102,6 +106,27 @@ class DeviceBackend:
         # ---- IMU factor from the previous keyframe --------------------
         if self.imu_params is not None:
             ip = self.imu_params
+            # stationarity detection → zero-velocity (ZUPT) prior on this
+            # state (reference: motion_detector.hpp zero-motion priors,
+            # imu_handler checkTemporalStatus): the platform is flagged
+            # stationary when the windowed gyro deviation and the acc
+            # deviation from its own mean both stay under noise-level
+            # thresholds.
+            m = imu_win.valid.astype(jnp.float32)[:, None]
+            nm = jnp.maximum(jnp.sum(m), 1.0)
+            g_mean = jnp.sum(imu_win.gyro * m, 0) / nm
+            a_mean = jnp.sum(imu_win.acc * m, 0) / nm
+            g_dev = jnp.sqrt(jnp.sum(
+                jnp.sum((imu_win.gyro - g_mean) ** 2 * m, 0)) / nm
+                + jnp.sum(g_mean ** 2))
+            a_dev = jnp.sqrt(jnp.sum(
+                jnp.sum((imu_win.acc - a_mean) ** 2 * m, 0)) / nm)
+            stationary = (use_imu & (nm >= 10)
+                          & (g_dev < self.zupt_gyro_thresh)
+                          & (a_dev < self.zupt_acc_thresh))
+            w = w._replace(zupt=w.zupt.at[k].set(
+                jnp.where(stationary, 1.0 / self.zupt_sigma_v ** 2, 0.0)))
+
             factor = imf.preintegrate_with_cov(
                 imu_win, w.bg[prev], w.ba[prev],
                 ip.sigma_omega_c, ip.sigma_acc_c)

@@ -155,6 +155,7 @@ class GlobalMap:
             obs_valid=roll_seg(w.obs_valid & (w.obs_state >= 1)),
             imu=imu_shift, imu_info=shift(w.imu_info),
             imu_valid=shift(w.imu_valid),
+            zupt=shift(w.zupt),
             H_prior=Hp,
             b_prior=jnp.zeros_like(w.b_prior).at[: D - DOF].set(
                 w.b_prior[DOF:]),

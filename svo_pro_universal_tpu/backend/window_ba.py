@@ -72,6 +72,11 @@ class Window(NamedTuple):
     imu: imu_mod.PreintFactor   # leading dim [S-1]
     imu_info: jax.Array         # [S-1, 15, 15]
     imu_valid: jax.Array        # [S-1]
+    # zero-motion (ZUPT) prior weights per state: 1/σ_v² when the IMU
+    # stream flags the platform stationary, else 0 (reference:
+    # motion_detector.hpp zero-motion priors / imu_handler
+    # checkTemporalStatus — VERDICT r2 item 9)
+    zupt: jax.Array       # [S]
     # marginalization prior (dense, at linearization point x0)
     H_prior: jax.Array    # [S·15, S·15]
     b_prior: jax.Array    # [S·15]
@@ -112,6 +117,7 @@ def make_window(max_states: int, max_landmarks: int, max_obs: int) -> Window:
         obs_f=jnp.zeros((No, 3)), obs_valid=jnp.zeros((No,), bool),
         imu=imu, imu_info=jnp.tile(jnp.eye(15)[None], (S - 1, 1, 1)),
         imu_valid=jnp.zeros((S - 1,), bool),
+        zupt=jnp.zeros((S,)),
         H_prior=jnp.zeros((S * DOF, S * DOF)),
         b_prior=jnp.zeros((S * DOF,)),
         q0=jnp.tile(jnp.array([1.0, 0, 0, 0]), (S, 1)),
@@ -358,6 +364,14 @@ def build_system(w: Window, T_cam_body: SE3, focal: jax.Array,
                              axis=-1).reshape(D)
     bp = bp - bias_w * x_bias
     chi2 = chi2 + jnp.sum(bias_w * x_bias * x_bias)
+    # zero-motion (ZUPT) priors: pull v → 0 for states flagged stationary
+    zw = jnp.zeros((S, DOF)).at[:, 6:9].set(
+        (w.zupt * w.state_valid)[:, None]).reshape(D)
+    Hpp = Hpp + jnp.diag(zw)
+    x_v = jnp.concatenate([jnp.zeros((S, 6)), w.v, jnp.zeros((S, 6))],
+                          axis=-1).reshape(D)
+    bp = bp - zw * x_v
+    chi2 = chi2 + jnp.sum(zw * x_v * x_v)
     lm_reg = jnp.where(w.lm_valid, 0.0, 1.0)
     Hll = Hll + (jnp.eye(3)[None] * (1e-6 + lm_reg[:, None, None]))
     return Hpp, bp, U, Hll, bl, chi2
@@ -537,6 +551,7 @@ def marginalize_oldest(w: Window, T_cam_body: SE3, focal: jax.Array,
         obs_state=w.obs_state - 1,
         obs_valid=w.obs_valid & (w.obs_state >= 1) & ~absorb[lm_c],
         lm_valid=w.lm_valid & ~absorb,
+        zupt=shift(w.zupt),
         imu=imu_shift,
         imu_info=shift(w.imu_info),
         imu_valid=jnp.concatenate([w.imu_valid[1:],

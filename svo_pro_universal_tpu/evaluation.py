@@ -56,14 +56,26 @@ def ate_rmse(est_pos: np.ndarray, gt_pos: np.ndarray,
 
 
 def relative_errors(est_pos: np.ndarray, gt_pos: np.ndarray,
-                    delta: int = 10) -> np.ndarray:
-    """Relative translation error over `delta`-frame sub-trajectories."""
+                    delta: int = 10, align: str = "se3") -> np.ndarray:
+    """Relative translation error over `delta`-frame sub-trajectories,
+    rpg-toolbox style: EACH sub-trajectory is first aligned to the
+    ground truth over its own span (se3 by default, sim3 for mono), and
+    the end-point error is reported. The round-2 version compared raw
+    displacement vectors without per-segment alignment — fine as a
+    smoke metric, not comparable with published relative errors
+    (reference: rpg_trajectory_evaluation compute_trajectory_errors)."""
     n = len(est_pos) - delta
     if n <= 0:
         return np.zeros((0,))
-    de = est_pos[delta:] - est_pos[:-delta]
-    dg = gt_pos[delta:] - gt_pos[:-delta]
-    return np.linalg.norm(de - dg, axis=-1)
+    errs = np.empty((n,))
+    with_scale = align == "sim3"
+    for i in range(n):
+        e = est_pos[i:i + delta + 1]
+        g = gt_pos[i:i + delta + 1]
+        a = umeyama_alignment(e, g, with_scale=with_scale)
+        e_end = a.s * (a.R @ e[-1]) + a.t
+        errs[i] = np.linalg.norm(e_end - g[-1])
+    return errs
 
 
 def associate(ts_est: np.ndarray, ts_gt: np.ndarray,

@@ -94,7 +94,7 @@ def distributed_optimize(w: wba.Window, T_cam_body: SE3, focal,
         q=rep, p=rep, v=rep, bg=rep, ba=rep, state_valid=rep,
         lm_pos=shard, lm_valid=shard,
         obs_state=shard, obs_lm=shard, obs_f=shard, obs_valid=shard,
-        imu=imu_spec, imu_info=rep, imu_valid=rep,
+        imu=imu_spec, imu_info=rep, imu_valid=rep, zupt=rep,
         H_prior=rep, b_prior=rep, q0=rep, p0=rep, v0=rep, bg0=rep,
         ba0=rep, has_prior=rep)
     out_spec = (in_spec, rep)

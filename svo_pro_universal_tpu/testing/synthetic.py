@@ -197,3 +197,49 @@ def synthetic_ba_window(S=8, n_landmarks=200, L=256, No=1024,
                    imu_info=jnp.tile(info[None], (S - 1, 1, 1)),
                    imu_valid=jnp.ones((S - 1,), bool))
     return w
+
+
+# ---------------------------------------------------------------------------
+# photometric degradation: make clean renders camera-realistic
+# ---------------------------------------------------------------------------
+
+def degrade_sequence(frames, seed=0, exposure_drift=0.25, vignette=0.35,
+                     blur_px=1.5, noise_sigma=2.5):
+    """Apply camera-realistic degradations to a rendered sequence
+    (VERDICT r2 item 7 — "67 fps on a clean render is an upper bound"):
+
+    - exposure drift: smooth per-frame gain/offset walk (auto-exposure),
+    - vignetting: radial falloff,
+    - motion blur: 3-tap average along the per-frame image motion,
+    - sensor noise: additive Gaussian, then uint8 quantization.
+
+    `frames`: list of float32/uint8 [H, W] arrays; returns uint8 list.
+    """
+    rng = np.random.default_rng(seed)
+    h, w = np.asarray(frames[0]).shape
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    r2 = (((xx - w / 2) / (w / 2)) ** 2 + ((yy - h / 2) / (h / 2)) ** 2)
+    vig = 1.0 - vignette * r2 / 2.0
+
+    out = []
+    gain, offs = 1.0, 0.0
+    prev = None
+    for k, f in enumerate(frames):
+        img = np.asarray(f, np.float32)
+        # random-walk exposure, mean-reverting
+        gain += rng.normal(0, 0.02) - 0.1 * (gain - 1.0)
+        offs += rng.normal(0, 1.0) - 0.1 * offs
+        gain = float(np.clip(gain, 1.0 - exposure_drift,
+                             1.0 + exposure_drift))
+        g = img * gain + offs
+        # motion blur: blend with a shifted copy along the frame motion
+        if prev is not None and blur_px > 0:
+            dy = rng.integers(-1, 2)
+            dx = rng.integers(-2, 3)
+            sh = np.roll(np.roll(g, dy, axis=0), dx, axis=1)
+            g = (2.0 * g + sh) / 3.0
+        prev = img
+        g = g * vig
+        g = g + rng.normal(0, noise_sigma, g.shape)
+        out.append(np.clip(g, 0, 255).astype(np.uint8))
+    return out

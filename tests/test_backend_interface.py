@@ -19,6 +19,7 @@ from test_window_ba import simulate_vi, RATE
 G = np.array([0.0, 0.0, -9.81])
 
 
+@pytest.mark.slow
 def test_interface_refines_noisy_keyframe_poses(rng):
     n_states = 8                      # exceeds the window → marginalization
     states, segs = simulate_vi(n_states=n_states, state_dt=0.25)

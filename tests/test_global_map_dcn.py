@@ -39,6 +39,7 @@ def _feed(gm, rng, lm, n_kf=10):
     ((2, 4), (HOST_AXIS, FEATURE_AXIS)),   # 2 hosts x 4 chips over DCN+ICI
     ((8, 1), (HOST_AXIS,)),                # pure multi-host partitioning
 ])
+@pytest.mark.slow
 def test_dcn_partitioned_global_map_matches_single(shape, axes):
     if len(jax.devices()) < shape[0] * shape[1]:
         pytest.skip("needs 8 virtual devices")

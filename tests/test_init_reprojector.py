@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from svo_pro_universal_tpu.cameras.projections import backproject, project
 from svo_pro_universal_tpu.common import types as ftypes
@@ -118,6 +119,7 @@ def _build_ring_with_kf():
     return img_ref, ring, pool, n
 
 
+@pytest.mark.slow
 def test_reprojector_matches_landmarks():
     img_ref, ring, pool, n = _build_ring_with_kf()
     T_cur_world = se3_exp(jnp.array([0.05, -0.03, 0.04, 0.01, -0.01, 0.02]))

@@ -20,6 +20,7 @@ def circle_poses(n, radius=2.0):
     return out
 
 
+@pytest.mark.slow
 def test_pgo_zero_residual_at_truth():
     n = 12
     gt = circle_poses(n)

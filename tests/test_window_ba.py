@@ -188,6 +188,7 @@ def test_window_ba_recovers_perturbed_states():
     assert max(ang) < 5e-3, ang
 
 
+@pytest.mark.slow
 def test_marginalization_slides_and_keeps_consistency():
     states, segs = simulate_vi()
     w = _make_window(states, segs, obs_noise=5e-4)
@@ -255,3 +256,51 @@ def test_marginalization_absorbs_visual_information():
     err_v1 = np.abs(np.asarray(w_v1.p[:-1] - w_or.p[1:])).max()
     assert err_v2 < 0.02, err_v2
     assert err_v2 <= err_v1 + 1e-6, (err_v2, err_v1)
+
+
+def test_zupt_prior_pins_stationary_velocity():
+    """Zero-motion prior (VERDICT r2 item 9): a visually BLIND stationary
+    window (no landmark observations) with a common-mode velocity error
+    drifts freely without the ZUPT prior; with it, velocities pin to
+    zero and the positions stop sliding."""
+    S, L, No = 4, 8, 32
+    w = wba.make_window(S, L, No)
+    w = w._replace(state_valid=jnp.ones((S,), bool))
+    # stationary IMU factors: gravity-only specific force
+    n_s = 41
+    t_seg = jnp.linspace(0.0, 0.2, n_s)
+    win = ImuWindow(t_seg, jnp.zeros((n_s, 3)),
+                    jnp.tile(jnp.asarray([0.0, 0.0, 9.81]), (n_s, 1)),
+                    jnp.ones((n_s,), bool))
+    fac = imf.preintegrate_with_cov(win, jnp.zeros(3), jnp.zeros(3),
+                                    1e-3, 1e-2)
+    info = imf.imu_information(fac, 1e-4, 1e-3)
+    stacked = jax.tree.map(
+        lambda x: jnp.tile(x[None], (S - 1,) + (1,) * x.ndim), fac)
+    w = w._replace(imu=stacked,
+                   imu_info=jnp.tile(info[None], (S - 1, 1, 1)),
+                   imu_valid=jnp.ones((S - 1,), bool))
+    # corrupt: common-mode velocity + the consistent position drift
+    v_err = jnp.asarray([0.3, -0.2, 0.1])
+    dt = 0.2
+    w_bad = w._replace(
+        v=jnp.tile(v_err, (S, 1)),
+        p=jnp.arange(S, dtype=jnp.float32)[:, None] * v_err * dt)
+
+    opts = wba.BAOptions(max_iter=8)
+    cam = SE3.identity()
+    focal = jnp.asarray(300.0)
+
+    w_no, _ = wba.optimize(w_bad, cam, focal, opts)
+    v_no = np.abs(np.asarray(w_no.v)).max()
+
+    w_z = w_bad._replace(zupt=jnp.full((S,), 1.0 / 0.02 ** 2))
+    w_yes, _ = wba.optimize(w_z, cam, focal, opts)
+    v_yes = np.abs(np.asarray(w_yes.v)).max()
+    p_yes = np.abs(np.asarray(w_yes.p)).max()
+
+    # without ZUPT the consistent drift family survives; with it the
+    # velocities collapse to ~0 and positions stop sliding
+    assert v_yes < 0.02, v_yes
+    assert v_yes < 0.2 * v_no, (v_yes, v_no)
+    assert p_yes < 0.05, p_yes
