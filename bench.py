@@ -281,6 +281,12 @@ def main():
             t = _time_marginal(body_ba, wball, reps=24)
             out["ba_solve_ms"] = round(t * 1e3, 3)
             out["ba_iters_per_s"] = round(ba_opts.max_iter / t, 1)
+            # DCN traffic accounting for the distributed solve at the
+            # global-map shape (weak-scaling evidence in lieu of multi-
+            # host hardware; see parallel/sharded_ba.py)
+            from svo_pro_universal_tpu.parallel.sharded_ba import \
+                comms_volume_per_solve
+            out["dcn_comms"] = comms_volume_per_solve(S=32, n_iter=4)
         except Exception as e:
             out["ba_error"] = str(e)[:200]
 

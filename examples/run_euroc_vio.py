@@ -25,6 +25,10 @@ def main():
     ap.add_argument("--out", default="/tmp/svo_tpu_traj_vio.txt")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--eval", action="store_true")
+    ap.add_argument("--device-pipeline", action="store_true",
+                    help="zero-readback on-device VIO pipeline "
+                         "(DevicePipelineVIO): maximum throughput, "
+                         "trajectory drained once at the end")
     args = ap.parse_args()
 
     from svo_pro_universal_tpu.cameras.rig import load_rig_yaml
@@ -38,9 +42,16 @@ def main():
     rig = load_rig_yaml(args.calib)
     cfg = load_config(args.config)
     imu = ImuHandler(rig.imu_params, rig.imu_init)
-    handler = FrameHandlerVIO(
-        cfg, rig.cameras[0], T_cam_body=rig.T_cam_body(0),
-        imu_handler=imu, imu_params=rig.imu_params)
+    if args.device_pipeline:
+        from svo_pro_universal_tpu.frontend.pipeline_vio import \
+            DevicePipelineVIO
+        handler = DevicePipelineVIO(
+            cfg, rig.cameras[0], T_cam_body=rig.T_cam_body(0),
+            imu_handler=imu, imu_params=rig.imu_params)
+    else:
+        handler = FrameHandlerVIO(
+            cfg, rig.cameras[0], T_cam_body=rig.T_cam_body(0),
+            imu_handler=imu, imu_params=rig.imu_params)
 
     ds = EurocDataset(args.dataset)
     stamps, poses = [], []
@@ -54,14 +65,22 @@ def main():
         sample = ev[1]
         res = handler.add_image(sample.load(), sample.timestamp)
         stamps.append(sample.timestamp)
-        poses.append(res.T_world_cam)
+        if res is not None:
+            poses.append(res.T_world_cam)
         n += 1
-        if n % 50 == 0:
+        if n % 50 == 0 and res is not None:
             el = time.perf_counter() - t_start
             print(f"frame {n} stage={res.stage.name} "
                   f"tracked={res.n_tracked} fps={n / el:.1f}")
         if args.max_frames and n >= args.max_frames:
             break
+
+    if args.device_pipeline:
+        handler.block()
+        el = time.perf_counter() - t_start
+        mats, meta = handler.drain()
+        poses = [mats[i] for i in range(mats.shape[0])]
+        print(f"{n} frames at {n / el:.1f} fps (device pipeline)")
 
     save_trajectory_tum(args.out, stamps, poses)
     print(f"saved {len(poses)} poses to {args.out}")

@@ -165,10 +165,22 @@ class LoopClosing:
         self._jit_match = jax.jit(
             lambda a, b: match_snapshots(a, b, self.opts))
 
+        ch, cw = opts.descriptor_cells
+        nb = opts.descriptor_bins
+
         def query_program(desc_mat, q, lim):
             """Best-candidate search fully on device; the host reads back
-            two scalars (index + similarity), not the similarity row."""
-            sims = desc_mat @ q
+            two scalars (index + similarity), not the similarity row.
+
+            In-plane-rotation tolerance: the query additionally matches
+            with its orientation bins circularly rolled by ±1 (one bin =
+            π/nbins ≈ 22.5°) and takes the max — a rotated revisit shifts
+            every cell's histogram by the same offset."""
+            qc = q.reshape(ch * cw, nb)
+            variants = jnp.stack([q,
+                                  jnp.roll(qc, 1, axis=-1).ravel(),
+                                  jnp.roll(qc, -1, axis=-1).ravel()])
+            sims = jnp.max(desc_mat @ variants.T, axis=-1)
             idx = jnp.arange(desc_mat.shape[0])
             sims = jnp.where(idx < lim, sims, -jnp.inf)
             best = jnp.argmax(sims)

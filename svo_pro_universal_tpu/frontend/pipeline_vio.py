@@ -149,12 +149,74 @@ class DevicePipelineVIO(DevicePipelineMono):
         return world, n_tracked, is_kf
 
     # ------------------------------------------------------------------
+    @property
+    def _aux_len(self) -> int:
+        return self._imu_m * 8 + 5          # imu window + quat + ts
+
+    def _step_program_vio(self, world, ext):
+        """VIO step with ONE host→device transfer per frame: `ext` is the
+        camera image extended by a few rows that carry the packed IMU
+        window + gyro-prior quaternion + timestamp. The tunnel is
+        BANDWIDTH-bound (~60 MB/s measured: a f32 EuRoC frame costs
+        ~16 ms more than uint8), so uint8 inputs stay uint8 with the aux
+        floats bit-packed into the extra rows; float inputs carry the
+        aux directly (tests render float images; quantizing them changed
+        tracking behavior)."""
+        H = self.cam.height
+        m = self._imu_m
+        img = ext[:H]
+        if ext.dtype == jnp.uint8:
+            raw = ext[H:].reshape(-1)[: self._aux_len * 4].reshape(-1, 4)
+            aux = jax.lax.bitcast_convert_type(raw, jnp.float32)
+        else:
+            aux = ext[H:].reshape(-1)[: self._aux_len]
+        packed = aux[: m * 8].reshape(m, 8)
+        q = aux[m * 8: m * 8 + 4]
+        ts = aux[m * 8 + 4]
+        world = world._replace(imu_packed=packed)
+        prior = SE3(q, world.T_rel_prev.t)
+        return DevicePipelineMono._step_program(self, world, img, ts,
+                                                prior)
+
     def add_image(self, img, timestamp: float):
-        """Upload frame + rolling IMU window; one async dispatch."""
+        """Build the extended frame (image + aux rows); one upload, one
+        async dispatch, nothing read back."""
+        import numpy as np
+        from svo_pro_universal_tpu.utils.transform import matrix_to_quat_np
+        self.frame_count += 1
+        m = self._imu_m
         if self.imu is not None:
-            horizon = self._imu_m / max(self.imu.params.imu_rate, 1.0)
+            horizon = m / max(self.imu.params.imu_rate, 1.0)
             packed = self.imu.window_packed(timestamp - horizon,
                                             timestamp)
-            self.world = self.world._replace(
-                imu_packed=jnp.asarray(packed))
-        return super().add_image(img, timestamp)
+        else:
+            packed = np.zeros((m, 8), np.float32)
+        if self.imu is not None and self._last_ts is not None:
+            R = self.imu.relative_rotation_prior_np(
+                self._last_ts, timestamp, self._R_cam_body_np)
+            q = matrix_to_quat_np(R)
+        else:
+            q = np.array([1.0, 0.0, 0.0, 0.0], np.float32)
+        aux = np.concatenate(
+            [packed.ravel(), q,
+             np.array([timestamp], np.float32)]).astype(np.float32)
+        H, W = self.cam.height, self.cam.width
+        arr = np.asarray(img)
+        if arr.dtype == np.uint8:
+            rows = -(-(aux.size * 4) // W)
+            ext = np.zeros((H + rows, W), np.uint8)
+            ext[:H] = arr
+            raw = np.frombuffer(aux.tobytes(), np.uint8)
+            ext[H:].reshape(-1)[: raw.size] = raw
+        else:
+            rows = -(-aux.size // W)
+            ext = np.zeros((H + rows, W), np.float32)
+            ext[:H] = arr.astype(np.float32)
+            ext[H:].reshape(-1)[: aux.size] = aux
+        if not hasattr(self, "_jit_vio"):
+            self._jit_vio = jax.jit(self._step_program_vio)
+        self.world = self._jit_vio(self.world, jnp.asarray(ext))
+        self._last_ts = timestamp
+        if self.sync:
+            return self._sync_result()
+        return None

@@ -164,7 +164,8 @@ def optimize_pose(
     def body(carry):
         T, best_chi2, best_T, it, _ = carry
         H, g, _ = evaluate(T)
-        dx = jnp.linalg.solve(H + 1e-8 * jnp.eye(6), g)
+        from svo_pro_universal_tpu.ops.tiles import solve_psd_small
+        dx = solve_psd_small(H + 1e-8 * jnp.eye(6), g, damping=0.0)
         dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
         T_new = se3_exp(dx).compose(T).normalized()
         _, _, chi2_new = evaluate(T_new)

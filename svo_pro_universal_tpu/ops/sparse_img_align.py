@@ -296,7 +296,9 @@ def run(
             H, g = Hg
             diag = jnp.diagonal(H)
             Hd = H + jnp.diag(mu * diag + 1e-8)
-            dx = jnp.linalg.solve(Hd, g)
+            # unrolled 8×8 Cholesky: linalg.solve takes the generic LU
+            # path (~19 µs/call, ×~30 GN iterations per frame)
+            dx = tl.solve_psd_small(Hd, g, damping=0.0)
             dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
             cand = _state_update(st, dx)
             H_new, g_new, c2_new, _ = evaluate(cand)

@@ -72,7 +72,10 @@ def optimize_points(
         # ray — an uncapped GN step can run away and corrupt the map
         diag = jnp.diagonal(H, axis1=-2, axis2=-1)
         H = H + (1e-3 * diag + 1e-8)[..., None] * jnp.eye(3, dtype=p.dtype)
-        dx = jnp.linalg.solve(H, g[..., None])[..., 0]
+        # unrolled batched Cholesky: jnp.linalg.solve takes the generic
+        # batched-LU path (~ms for [360,3,3] per iteration on this chip)
+        from svo_pro_universal_tpu.ops.tiles import solve_psd_small
+        dx = solve_psd_small(H, g)
         dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
         max_step = 0.2 * jnp.maximum(jnp.linalg.norm(p, axis=-1), 1e-3)
         dx_norm = jnp.linalg.norm(dx, axis=-1)

@@ -70,6 +70,25 @@ def partition_observations(w: wba.Window, n_shards: int
         obs_f=scatter(w.obs_f), obs_valid=jnp.asarray(new_valid)), n_dropped
 
 
+def comms_volume_per_solve(S: int, n_iter: int) -> dict:
+    """Analytic cross-device traffic of one distributed window solve.
+
+    Per LM iteration exactly TWO psums cross the mesh: the reduced
+    camera-camera Schur system S_red [D,D] and b_red [D] (plus the
+    state-block Hpp/bp/chi2 reduction in build_system — same D² order).
+    Landmark blocks never move (they live on their owner shard). With a
+    2-D [host × chip] mesh only the host-axis hop rides DCN. This is the
+    per-solve comms accounting the weak-scaling target is judged by
+    (BASELINE.md ≥70% at 2+ hosts; unmeasurable on this 1-chip env, so
+    the VOLUME is reported instead)."""
+    D = S * wba.DOF
+    per_iter = 2 * (D * D + D) * 4            # Hpp+S_red f32 bytes
+    # +1: the initial chi2 evaluation before the loop
+    return dict(bytes_per_iter=per_iter,
+                bytes_per_solve=per_iter * (n_iter + 1),
+                state_dim=D)
+
+
 def distributed_optimize(w: wba.Window, T_cam_body: SE3, focal,
                          mesh: Mesh, opts: wba.BAOptions = wba.BAOptions(),
                          axes: tuple[str, ...] = (FEATURE_AXIS,)

@@ -139,3 +139,24 @@ def test_verification_rejects_aliased_candidates():
     t_err = np.linalg.norm(np.asarray(out.T_cur_old.t)
                            - np.asarray(T_re.t))
     assert t_err < 0.15, (t_err, np.asarray(out.T_cur_old.t))
+
+
+def test_rotation_rolled_query_tolerance():
+    """The ±1-bin orientation-rolled query (LoopClosing._jit_query) must
+    recover similarity a direct cosine loses under a ~22° in-plane
+    rotation (one orientation bin)."""
+    import jax.numpy as jnp
+    tex = jnp.asarray(random_texture(H, W, 42))
+    img0 = render_plane_view(tex, SE3.identity(), cam=CAM, plane_z=PLANE_Z)
+    T_rot = se3_exp(jnp.asarray([0.0, 0.0, 0.0, 0.0, 0.0, 0.38]))
+    img_r = render_plane_view(tex, T_rot, cam=CAM, plane_z=PLANE_Z)
+    d0 = lc.global_descriptor(img0)
+    dr = lc.global_descriptor(img_r)
+    direct = float(d0 @ dr)
+    opts = lc.LoopClosingOptions()
+    ch, cw = opts.descriptor_cells
+    nb = opts.descriptor_bins
+    qc = dr.reshape(ch * cw, nb)
+    rolled = max(float(d0 @ jnp.roll(qc, s, axis=-1).ravel())
+                 for s in (-1, 0, 1))
+    assert rolled > direct + 0.02, (direct, rolled)
