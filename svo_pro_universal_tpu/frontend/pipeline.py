@@ -243,13 +243,18 @@ class DevicePipelineMono(FrameHandlerMono):
         world = jax.lax.cond(lost, restart, keep_tracking, world)
         return world, n_ok, world.stage == Stage.TRACKING.value
 
+    def _device_align_extra(self, world):
+        """Secondary-camera pyramids for joint alignment, read from the
+        world state (stereo device pipeline overrides; mono: none)."""
+        return None
+
     def _branch_tracking(self, world: WorldState, frame: FrameState,
                          ts, T_prior_rel):
         cfg = self.cfg
         key, k = jax.random.split(world.rng_key)
         ring, pool, tracked, stats = self._tracking_step(
             world.ring, world.pool, world.last_frame, frame, T_prior_rel,
-            world.depth_state)
+            world.depth_state, self._device_align_extra(world))
 
         # keyframe decision (reference needNewKf frame_handler_base.cpp:1012)
         n_tracked = stats["n_tracked"]
@@ -351,7 +356,12 @@ class DevicePipelineMono(FrameHandlerMono):
         pyr = build_pyramid(image_to_float(img), self.n_levels)
         frame = make_empty_frame(pyr, self.max_fts,
                                  T_cam_body=self.T_cam_body, timestamp=ts)
+        return self._run_state_machine(world, frame, ts, T_prior_rel)
 
+    def _run_state_machine(self, world: WorldState, frame, ts,
+                           T_prior_rel):
+        """Dispatch the 4-stage `lax.switch` + append the trace entry
+        (shared by the mono/VIO/stereo device pipelines)."""
         idx = jnp.clip(world.stage - Stage.FIRST_FRAME.value, 0, 3)
         world, n_tracked, is_kf = jax.lax.switch(
             idx,
