@@ -180,11 +180,48 @@ class FeatureTrackerOptions:
 
 @dataclass
 class BackendOptions:
-    """Sliding-window BA (reference: ceres_backend_interface.hpp:21-58)."""
+    """Sliding-window BA (reference: ceres_backend_interface.hpp:21-58 +
+    the backend knobs exposed through the ROS factory,
+    extra/svo_ros/src/ceres_backend_factory.cpp:18-86)."""
     num_keyframes: int = 5
     num_imu_frames: int = 3
     max_iterations: int = 3
     marginalize: bool = True
+    # observation ingestion gate: a frontend feature must reproject its
+    # landmark within this many px to enter the window (reference:
+    # outlier_rejection_px_threshold, ceres_backend_factory.cpp:81)
+    ingest_gate_px: float = 5.0
+    # scale-stability gate on applying backend pose corrections to the
+    # frontend (reference: frame_handler_base.cpp:256-310)
+    max_pose_correction: float = 0.5
+    # zero-motion (ZUPT) detection thresholds + prior sigma (reference:
+    # backend_use_zero_motion_detection / zero_motion_sigma,
+    # ceres_backend_factory.cpp:18-26,75)
+    use_zero_motion_detection: bool = True
+    zupt_gyro_thresh: float = 0.015      # rad/s incl. mean
+    zupt_acc_thresh: float = 0.12        # m/s² deviation from mean
+    zupt_sigma_v: float = 0.02           # m/s
+    # window capacities (device-resident backend pools)
+    max_landmarks: int = 256
+    max_obs_per_kf: int = 120
+    # common-mode scale correction: the (metric) backend solution may
+    # disagree with the mono frontend map by a global scale (wrong init
+    # depth prior / IMU scale drift); when enabled the correction step
+    # extracts that common mode and applies it to the WHOLE frontend map
+    # instead of letting a flat displacement gate block convergence
+    # (reference behavior: backend-driven scale stabilization,
+    # frame_handler_base.cpp:256-310; VERDICT r3 item 3)
+    scale_correction: bool = True
+    max_scale_step: float = 1.15         # per-keyframe scale step bound
+    min_scale_support: int = 12          # landmarks needed to trust s
+    # feedback only applies when the post-solve cost per observation is
+    # sane (reference: skip_optimization_when_tracking_bad,
+    # ceres_backend_factory.cpp:84-86)
+    max_chi2_per_obs: float = 200.0
+    # drop the IMU factor when consecutive keyframes are further apart
+    # than this (a relocalization outage leaves velocities stale and the
+    # preintegration truncated — measured chi2 5e4 on one such factor)
+    max_imu_dt_between_kfs: float = 0.6
 
 
 @dataclass
@@ -238,6 +275,14 @@ _KEY_MAP: dict[str, tuple[str, str]] = {
     "max_seeds_ratio": ("base", "max_seeds_ratio"),
     "use_threaded_depthfilter": ("base", "use_threaded_depthfilter"),
     "backend_scale_stable_thresh": ("base", "backend_scale_stable_thresh"),
+    # ceres backend knobs (reference: ceres_backend_factory.cpp:18-86)
+    "ceres_num_iterations": ("backend", "max_iterations"),
+    "ceres_num_imu_frames": ("backend", "num_imu_frames"),
+    "ceres_marginalize": ("backend", "marginalize"),
+    "outlier_rejection_px_threshold": ("backend", "ingest_gate_px"),
+    "backend_use_zero_motion_detection":
+        ("backend", "use_zero_motion_detection"),
+    "zero_motion_sigma": ("backend", "zupt_sigma_v"),
     "grid_size": ("detector", "cell_size"),
     "detector_threshold_primary": ("detector", "threshold_primary"),
     "detector_threshold_secondary": ("detector", "threshold_secondary"),

@@ -181,7 +181,11 @@ class ImuHandler:
         n = len(tt)
         if n == 0:
             return out
-        out[:n, 0] = (tt - t1).astype(np.float32)
+        # relative to the delay-SHIFTED endpoint t1s: the device mask
+        # compares against camera-clock boundaries (last_kf_ts − ts, 0],
+        # so with delay_imu_cam ≠ 0 an un-shifted t_rel would offset the
+        # integrated interval by the delay at both ends (ADVICE r3 low)
+        out[:n, 0] = (tt - t1s).astype(np.float32)
         out[n:, 0] = out[n - 1, 0]
         out[:n, 1:4] = np.stack(self._gyro[sel])
         out[:n, 4:7] = np.stack(self._acc[sel])

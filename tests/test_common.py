@@ -109,6 +109,30 @@ def test_gauss_newton_quadratic():
     np.testing.assert_allclose(res.state, x_expected, atol=1e-5)
 
 
+def test_config_backend_knobs_roundtrip(tmp_path):
+    """Backend knobs exposed through the reference's YAML keys
+    (VERDICT r3 item 9; reference: ceres_backend_factory.cpp:18-86)."""
+    p = tmp_path / "cfg.yaml"
+    p.write_text(
+        "ceres_num_iterations: 7\n"
+        "ceres_num_imu_frames: 4\n"
+        "ceres_marginalize: false\n"
+        "outlier_rejection_px_threshold: 3.5\n"
+        "backend_use_zero_motion_detection: false\n"
+        "zero_motion_sigma: 0.07\n")
+    cfg = load_config(str(p))
+    assert cfg.backend.max_iterations == 7
+    assert cfg.backend.num_imu_frames == 4
+    assert cfg.backend.marginalize is False
+    assert cfg.backend.ingest_gate_px == 3.5
+    assert cfg.backend.use_zero_motion_detection is False
+    assert cfg.backend.zupt_sigma_v == 0.07
+    # r4 scale-correction knobs exist with sane defaults
+    assert cfg.backend.scale_correction is True
+    assert cfg.backend.max_scale_step > 1.0
+    assert cfg.backend.max_chi2_per_obs > 0
+
+
 def test_config_loads_reference_yaml():
     cfg = load_config("/root/reference/examples/param/pinhole.yaml")
     assert cfg.capacity.max_fts == 180
