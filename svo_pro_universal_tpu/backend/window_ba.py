@@ -50,6 +50,17 @@ class BAOptions(NamedTuple):
     # (reference: imu_initialization sigmas, imu_calibration.h:85-117)
     gyr_bias_prior_sigma: float = 0.05
     acc_bias_prior_sigma: float = 0.5
+    # closed-form visual-inertial alignment before the LM iterations:
+    # global scale is the direction mono-visual factors cannot see and
+    # the IMU factors can; LM moves along that long valley only a little
+    # per solve, which let a wrong mono init scale survive (and get
+    # cemented by marginalization — measured r4; a chi2 line search over
+    # scale overshot, also measured). The VINS-Mono-style linear system
+    # in (scale, velocities) given relative poses + preintegrations is
+    # exact with ≥2 IMU factors and solves both at once.
+    vi_alignment: bool = True
+    vi_align_min_factors: int = 2
+    vi_align_max_residual: float = 0.5   # mean-square row residual gate
 
 
 class Window(NamedTuple):
@@ -403,6 +414,94 @@ def solve_schur(Hpp, bp, U, Hll, bl, mu, lm_valid,
     return dx_p, dl
 
 
+def vi_alignment(w: Window, opts: BAOptions
+                 ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Closed-form monocular visual-inertial alignment.
+
+    Solves the linear least-squares system in x = [α, v_0..v_{S-1}]
+    (α = metric length per frontend-map unit, v metric velocities):
+
+        α·(p_j − p_i) − v_i·Δt = ½ g Δt² + R_i·Δp_ij
+                    v_j − v_i  =     g Δt + R_i·Δv_ij
+
+    per valid IMU factor i→j — the standard VI initialization (VINS-Mono
+    §V-B "visual-inertial alignment"; the reference relies on the OKVIS
+    backend's equivalent init). With ≥2 factors and non-degenerate
+    acceleration the system pins scale exactly; a quadratic row-residual
+    gate rejects degenerate/inconsistent windows.
+
+    Returns (alpha, v_est [S,3], ok).
+    """
+    S = w.S
+    g = jnp.asarray(opts.gravity)
+    nvar = 1 + 3 * S
+    nf = S - 1
+
+    i_idx = jnp.arange(nf)
+    valid = (w.imu_valid & w.state_valid[:-1] & w.state_valid[1:]
+             & (w.imu.dt > 1e-4))
+    R_i = quat_to_matrix(w.q[i_idx])                       # [nf,3,3]
+    dp = w.p[i_idx + 1] - w.p[i_idx]                       # [nf,3]
+    dt = w.imu.dt                                          # [nf]
+    rhs_p = 0.5 * g[None] * (dt * dt)[:, None] \
+        + jnp.einsum("nij,nj->ni", R_i, w.imu.delta_p)     # [nf,3]
+    rhs_v = g[None] * dt[:, None] \
+        + jnp.einsum("nij,nj->ni", R_i, w.imu.delta_v)
+
+    eye3 = jnp.eye(3)
+
+    def rows_one(k):
+        Ap = jnp.zeros((3, nvar))
+        Ap = Ap.at[:, 0].set(dp[k])
+        Ap = jax.lax.dynamic_update_slice(Ap, -eye3 * dt[k],
+                                          (0, 1 + 3 * k))
+        Av = jnp.zeros((3, nvar))
+        Av = jax.lax.dynamic_update_slice(Av, -eye3, (0, 1 + 3 * k))
+        Av = jax.lax.dynamic_update_slice(Av, eye3, (0, 4 + 3 * k))
+        m = valid[k].astype(jnp.float32)
+        return (jnp.concatenate([Ap, Av], 0) * m,
+                jnp.concatenate([rhs_p[k], rhs_v[k]]) * m)
+
+    A, b = jax.vmap(rows_one)(jnp.arange(nf))
+    A = A.reshape(-1, nvar)
+    b = b.reshape(-1)
+    n_fac = jnp.sum(valid.astype(jnp.int32))
+    # damp the velocity blocks of untouched states so the system stays
+    # invertible; keep α essentially undamped
+    AtA = A.T @ A + jnp.diag(jnp.full((nvar,), 1e-6).at[0].set(1e-9))
+    x = jnp.linalg.solve(AtA, A.T @ b)
+    alpha = x[0]
+    v_est = x[1:].reshape(S, 3)
+    resid = A @ x - b
+    ms_res = jnp.sum(resid * resid) / jnp.maximum(
+        6.0 * n_fac.astype(jnp.float32), 1.0)
+    ok = ((n_fac >= opts.vi_align_min_factors)
+          & jnp.isfinite(alpha) & (alpha > 0.2) & (alpha < 5.0)
+          & (ms_res < opts.vi_align_max_residual))
+    return alpha, v_est, ok
+
+
+def maybe_vi_align(w: Window, opts: BAOptions) -> Window:
+    """Apply the closed-form alignment as a similarity about state 0
+    (positions, landmarks; velocities replaced by the solved metric
+    ones). Skipped once a marginalization prior exists — its information
+    is expressed at the previous scale, and by then the window is
+    already aligned (the prior itself would fight the move)."""
+    alpha, v_est, ok = vi_alignment(w, opts)
+
+    def apply(wx: Window) -> Window:
+        c = wx.p[0]
+        sv = wx.state_valid[:, None]
+        return wx._replace(
+            p=c[None] + alpha * (wx.p - c[None]),
+            v=jnp.where(sv, v_est, wx.v),
+            lm_pos=c[None] + alpha * (wx.lm_pos - c[None]))
+
+    do = ok & ~w.has_prior & (jnp.abs(jnp.log(
+        jnp.maximum(alpha, 1e-6))) > 0.01)
+    return jax.lax.cond(do, apply, lambda x: x, w)
+
+
 def optimize(w: Window, T_cam_body: SE3, focal: jax.Array,
              opts: BAOptions = BAOptions(),
              axis_name: str | None = None,
@@ -415,6 +514,9 @@ def optimize(w: Window, T_cam_body: SE3, focal: jax.Array,
         *_, c2 = build_system(wx, T_cam_body, focal, opts, axis_name,
                               lm_offset)
         return c2
+
+    if opts.vi_alignment:
+        w = maybe_vi_align(w, opts)
 
     def body(k, carry):
         wx, mu, best_chi2 = carry

@@ -601,15 +601,23 @@ class FrameHandlerMono:
         pose = frame.T_world_cam.as_matrix()
         return ring, pool, frame, T_rel, new_depth, stats_vec, pose
 
-    def _klt_track(self, ref_frame, cur_pyramid, px_ref, valid):
+    def _klt_track(self, ref_frame, cur_pyramid, px_ref, valid,
+                   px_init=None):
         """Pyramidal KLT with a bidirectional consistency check: a track
         must map back to its ref position within 1px (kills occlusion and
-        repetitive-texture lock-ons that a one-way track can't see)."""
+        repetitive-texture lock-ons that a one-way track can't see).
+
+        ``px_init``: initial guess in the current image — the previous
+        frame's track positions during initialization (the reference's
+        FeatureTracker is incremental the same way, feature_tracker.cpp
+        :52-84; re-searching from the ref position every frame measurably
+        collapsed track survival once the baseline grew past ~4 frames)."""
         tr = self.cfg.tracker
         max_level = min(tr.klt_max_level, self.n_levels - 1)
         sizes = [tr.klt_patch_size] * (max_level + 1)
         fwd = align_mod.align_pyr_2d(
-            ref_frame.pyramid, cur_pyramid, px_ref, px_ref,
+            ref_frame.pyramid, cur_pyramid, px_ref,
+            px_ref if px_init is None else px_init,
             max_level=max_level, min_level=tr.klt_min_level,
             patch_sizes=sizes, n_iter=tr.klt_max_iter, valid=valid)
         bwd = align_mod.align_pyr_2d(
@@ -714,6 +722,7 @@ class FrameHandlerMono:
         self._init_ref_frame = frame
         self._init_ref_px = frame.px
         self._init_ref_valid = frame.valid_mask()
+        self._init_px_guess = frame.px       # incremental KLT guesses
         self.stage = Stage.INITIALIZING
         return self._result(frame, int(n_new), is_kf=True)
 
@@ -721,7 +730,12 @@ class FrameHandlerMono:
         cfg = self.cfg
         ref = self._init_ref_frame
         px_cur, ok = self._jit_klt(ref, frame.pyramid, self._init_ref_px,
-                                   self._init_ref_valid)
+                                   self._init_ref_valid,
+                                   self._init_px_guess)
+        # failed tracks keep their last good guess (they may reconverge;
+        # the bidirectional check kills wrong lock-ons)
+        self._init_px_guess = jnp.where(ok[:, None], px_cur,
+                                        self._init_px_guess)
         n_ok = int(jnp.sum(ok.astype(jnp.int32)))
         if n_ok < cfg.init.init_min_tracked:
             # lost too many tracks → restart initialization
@@ -913,10 +927,18 @@ class FrameHandlerVIO(FrameHandlerMono):
             T_new, chi2 = self.backend.add_keyframe_device(
                 timestamp, self.last_frame, self.pool,
                 imu_handler=self.imu)
-            ring, pool, frame = self.backend._jit_apply(
+            ring, pool, frame, s = self.backend._jit_apply(
                 self.backend.state, self.ring, self.pool,
-                self.last_frame, T_new)
+                self.last_frame, T_new, chi2)
             self.ring, self.pool, self.last_frame = ring, pool, frame
+            # the common-mode scale also rescales the scene-depth scalars
+            # and the constant-velocity motion model (this host handler is
+            # synchronous anyway — it reads chi2 below)
+            sf = float(s)
+            self.depth_median *= sf
+            self.depth_min *= sf
+            self.T_rel_prev = SE3(self.T_rel_prev.q,
+                                  self.T_rel_prev.t * sf)
             # host handler is sync anyway; one scalar read for stats
             self.stats["backend_chi2"] = float(chi2)
             self._last_backend_chi2 = self.stats["backend_chi2"]

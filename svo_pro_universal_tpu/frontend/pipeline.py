@@ -57,6 +57,7 @@ class WorldState(NamedTuple):
     pool: LandmarkPool
     last_frame: FrameState
     init_ref: FrameState        # first keyframe during initialization
+    init_px: jax.Array          # [N,2] incremental KLT guesses (init)
     T_rel_prev: SE3             # constant-velocity model
     depth_state: jax.Array      # [2] = (depth_median, depth_min)
     frames_since_kf: jax.Array  # i32
@@ -85,8 +86,18 @@ class DevicePipelineMono(FrameHandlerMono):
                          imu_handler=imu_handler)
         self.sync = sync
         self.trace_capacity = trace_capacity
+        # Session epoch: absolute timestamps (EuRoC stamps are ~1.4e9 s)
+        # are unrepresentable in f32 (ULP = 128 s there), so everything
+        # shipped to the device is SESSION-RELATIVE (timestamp − epoch);
+        # the host keeps absolute stamps (ADVICE r3 high).
+        self._t_epoch: Optional[float] = None
         self.world = self._make_world(seed)
         self._jit_step = jax.jit(self._step_program)
+
+    def _rel_ts(self, timestamp: float) -> float:
+        if self._t_epoch is None:
+            self._t_epoch = float(timestamp)
+        return float(timestamp) - self._t_epoch
 
     # ------------------------------------------------------------------
     def _make_world(self, seed: int) -> WorldState:
@@ -103,6 +114,7 @@ class DevicePipelineMono(FrameHandlerMono):
             pool=make_pool(cap.max_points, cap.max_obs_per_point),
             last_frame=template,
             init_ref=template,
+            init_px=jnp.zeros((self.max_fts, 2), jnp.float32),
             T_rel_prev=SE3.identity(),
             depth_state=jnp.asarray([d0, 0.1 * d0], jnp.float32),
             frames_since_kf=jnp.asarray(0, jnp.int32),
@@ -151,7 +163,8 @@ class DevicePipelineMono(FrameHandlerMono):
                 return w._replace(
                     stage=jnp.asarray(Stage.INITIALIZING.value, jnp.int32),
                     ring=insert_keyframe(w.ring, frame, jnp.asarray(0)),
-                    last_frame=frame, init_ref=frame)
+                    last_frame=frame, init_ref=frame,
+                    init_px=frame.px)
 
         def stay(w: WorldState) -> WorldState:
             return w._replace(last_frame=frame)
@@ -168,7 +181,14 @@ class DevicePipelineMono(FrameHandlerMono):
         cfg = self.cfg
         ref = world.init_ref
         ref_valid = ref.valid_mask()
-        px_cur, ok = self._klt_track(ref, frame.pyramid, ref.px, ref_valid)
+        # incremental guesses: start each KLT from the PREVIOUS frame's
+        # track positions (reference FeatureTracker is incremental,
+        # feature_tracker.cpp:52-84) — from-scratch re-search from the
+        # ref position collapsed track survival past ~4 frames
+        px_cur, ok = self._klt_track(ref, frame.pyramid, ref.px, ref_valid,
+                                     world.init_px)
+        world = world._replace(
+            init_px=jnp.where(ok[:, None], px_cur, world.init_px))
         n_ok = jnp.sum(ok.astype(jnp.int32))
         disp = init_mod.disparity(ref.px, px_cur, ok)
         key, k = jax.random.split(world.rng_key)
@@ -231,10 +251,10 @@ class DevicePipelineMono(FrameHandlerMono):
 
         def restart(w: WorldState) -> WorldState:
             # lost too many tracks → restart initialization from scratch
-            return w._replace(
+            return self._reset_world_extras(w._replace(
                 stage=jnp.asarray(Stage.FIRST_FRAME.value, jnp.int32),
                 ring=jax.tree.map(jnp.zeros_like, w.ring),
-                last_frame=frame)
+                last_frame=frame))
 
         def keep_tracking(w: WorldState) -> WorldState:
             return jax.lax.cond(ready, try_init,
@@ -247,6 +267,15 @@ class DevicePipelineMono(FrameHandlerMono):
         """Secondary-camera pyramids for joint alignment, read from the
         world state (stereo device pipeline overrides; mono: none)."""
         return None
+
+    def _reset_world_extras(self, world):
+        """Hook for subclasses to clear their extra world-state fields on
+        a full pipeline restart (tracking loss / failed relocalization).
+        The VIO subclass zeroes its backend window here — after a reset
+        the new map lives in an unrelated world frame and stale window
+        states/IMU factors must not co-optimize with it (ADVICE r3
+        medium)."""
+        return world
 
     def _branch_tracking(self, world: WorldState, frame: FrameState,
                          ts, T_prior_rel):
@@ -337,12 +366,12 @@ class DevicePipelineMono(FrameHandlerMono):
             give_up = trials >= cfg.base.relocalization_max_trials
 
             def reset(w2: WorldState) -> WorldState:
-                return w2._replace(
+                return self._reset_world_extras(w2._replace(
                     stage=jnp.asarray(Stage.FIRST_FRAME.value, jnp.int32),
                     ring=jax.tree.map(jnp.zeros_like, w2.ring),
                     pool=jax.tree.map(jnp.zeros_like, w2.pool)._replace(
                         next_id=jnp.zeros_like(w2.pool.next_id)),
-                    reloc_trials=jnp.asarray(0, jnp.int32))
+                    reloc_trials=jnp.asarray(0, jnp.int32)))
 
             return jax.lax.cond(give_up, reset,
                                 lambda w2: w2._replace(reloc_trials=trials),
@@ -391,7 +420,8 @@ class DevicePipelineMono(FrameHandlerMono):
         self.frame_count += 1
         prior = self._motion_prior_device(timestamp)
         self.world = self._jit_step(
-            self.world, jnp.asarray(img), jnp.float32(timestamp), prior)
+            self.world, jnp.asarray(img),
+            jnp.float32(self._rel_ts(timestamp)), prior)
         self._last_ts = timestamp
         if self.sync:
             return self._sync_result()

@@ -78,3 +78,94 @@ def test_interface_refines_noisy_keyframe_poses(rng):
     # marginalization happened (window capacity 5 < 8 keyframes)
     assert backend.n_states == 5
     assert bool(backend.window.has_prior)
+
+
+@pytest.mark.slow
+def test_device_backend_scale_convergence_from_2x_map(rng):
+    """VERDICT r3 item 3: a frontend map whose gauge is 2× off metric
+    (wrong mono init depth prior) must be pulled to <5% scale error
+    within 10 keyframes by the backend's scale machinery (the in-solve
+    scale-gauge line search, window_ba.optimize, plus the common-mode
+    scale transfer of device_interface._apply_program).
+
+    The frontend is modeled exactly: it feeds poses consistent with ITS
+    OWN (wrongly-scaled) map and observes that map's landmarks — only
+    the IMU stream is metric. Every correction the backend applies is
+    folded back by re-fitting the map's similarity to ground truth."""
+    from svo_pro_universal_tpu.backend.device_interface import DeviceBackend
+    from svo_pro_universal_tpu.common.frame import make_empty_frame
+    from svo_pro_universal_tpu.common.point import make_pool
+    from svo_pro_universal_tpu.config import BackendOptions
+    from svo_pro_universal_tpu.evaluation import umeyama_alignment
+    from svo_pro_universal_tpu.frontend.map import make_ring
+    from svo_pro_universal_tpu.ops.pyramid import build_pyramid
+    from svo_pro_universal_tpu.utils.transform import matrix_to_quat
+
+    n_states = 12
+    states, segs = simulate_vi(n_states=n_states, state_dt=0.25)
+    n_lm = 60
+    lm_gt = rng.uniform([-2, -2, 1.5], [2, 2, 6], (n_lm, 3)).astype(
+        np.float32)
+
+    params = ImuParams()
+    imu = ImuHandler(params)
+    for k, seg in enumerate(segs):
+        base = states["t"][k]
+        tt = np.asarray(seg.t) + base
+        for i in range(len(tt) - (1 if k < len(segs) - 1 else 0)):
+            imu.add_measurement(tt[i], np.asarray(seg.gyro[i]),
+                                np.asarray(seg.acc[i]))
+
+    backend = DeviceBackend(
+        cam_focal=300.0, T_cam_body=SE3.identity(), num_keyframes=5,
+        imu_params=params,
+        opts=wba.BAOptions(max_iter=6, gravity=tuple(G)),
+        backend_cfg=BackendOptions(max_scale_step=1.6,
+                                   min_scale_support=10))
+
+    # frontend state: everything at 2× metric scale
+    pool = make_pool(n_lm, 4)
+    from svo_pro_universal_tpu.common.point import allocate
+    pool, slots = allocate(pool, jnp.asarray(2.0 * lm_gt),
+                           jnp.ones((n_lm,), bool))
+    tpl = make_empty_frame(build_pyramid(jnp.zeros((16, 16)), 1), n_lm)
+    ring = make_ring(tpl, 4)
+
+    scales = []
+    for k in range(n_states):
+        # fit the map's current similarity to GT (what scale is the
+        # frontend world at now?)
+        a = umeyama_alignment(lm_gt, np.asarray(pool.pos),
+                              with_scale=True)
+        scales.append(float(a.s))
+        # frontend pose consistent with its own map
+        p_f = a.s * (a.R @ np.asarray(states["p"][k])) + a.t
+        R_gt = np.asarray(SE3(states["q"][k],
+                              states["p"][k]).rotation_matrix())
+        R_f = a.R @ R_gt
+        q_f = matrix_to_quat(jnp.asarray(R_f.astype(np.float32)))
+        T_w_b = SE3(q_f, jnp.asarray(p_f.astype(np.float32)))
+        T_cam_world = T_w_b.inverse()
+        # the frontend observes ITS map: bearings to pool landmarks
+        pb = np.asarray(T_cam_world.apply(pool.pos))
+        vis = pb[:, 2] > 0.3
+        f = pb / np.maximum(np.linalg.norm(pb, axis=-1, keepdims=True),
+                            1e-9)
+        lids = np.where(vis, np.asarray(slots), -1).astype(np.int32)
+        from svo_pro_universal_tpu.common.types import FeatureType
+        frame = tpl._replace(
+            T_cam_world=T_cam_world,
+            f=jnp.asarray(f.astype(np.float32)),
+            landmark_id=jnp.asarray(lids),
+            ftype=jnp.where(jnp.asarray(vis),
+                            jnp.int32(FeatureType.CORNER),
+                            jnp.int32(FeatureType.INVALID)))
+        T_new, chi2 = backend.add_keyframe_device(
+            float(states["t"][k]), frame, pool, imu_handler=imu)
+        ring, pool, frame, s = backend._jit_apply(
+            backend.state, ring, pool, frame, T_new, chi2)
+
+    a_end = umeyama_alignment(lm_gt, np.asarray(pool.pos),
+                              with_scale=True)
+    assert abs(scales[0] - 2.0) < 0.05          # started 2× off
+    assert abs(float(a_end.s) - 1.0) < 0.05, (scales, float(a_end.s))

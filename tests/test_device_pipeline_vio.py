@@ -20,7 +20,7 @@ from svo_pro_universal_tpu.utils.transform import (
     so3_exp)
 
 
-def simulate_fast(duration=2.4):
+def simulate_fast(duration=2.4, v0=(0.25, 0.0, 0.06)):
     """Like test_pipeline_vio.simulate but ~3× faster translation —
     the mono frontend needs ~25 mm/frame of parallax at this scene depth
     (the slower VI sim starves the depth filter even without a backend)."""
@@ -34,7 +34,7 @@ def simulate_fast(duration=2.4):
     dt = 1.0 / IMU_RATE
     n = int(duration * IMU_RATE)
     q = jnp.array([1.0, 0, 0, 0])
-    v = jnp.asarray([0.25, 0.0, 0.06])
+    v = jnp.asarray(list(v0))
     p = jnp.zeros(3)
     imu_stream, cam_poses, cam_ts = [], [], []
     per_frame = int(IMU_RATE / 10.0)
@@ -60,6 +60,10 @@ def test_device_vio_zero_readback_tracks():
     cfg = make_config()
     cfg.backend.num_keyframes = 5
     cfg.backend.max_iterations = 3
+    # this toy scene's landmark count dips to ~10 mid-run before the
+    # seed-conversion wave replenishes it (the host handler rides the
+    # same trough); the quality gate must not cut to RELOC there
+    cfg.base.quality_min_fts = 8
     imu = ImuHandler(ImuParams())
     h = DevicePipelineVIO(cfg, CAM, imu_handler=imu,
                           imu_params=ImuParams(), trace_capacity=64,
