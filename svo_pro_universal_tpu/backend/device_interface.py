@@ -243,16 +243,25 @@ class DeviceBackend:
     # ------------------------------------------------------------------
     def _step_program(self, st, k, dt_prev, T_cam_world, lids, bearings,
                       valid, pool_pos, imu_win, use_imu):
-        """Absorb keyframe k + optimize + extract the correction."""
+        """Absorb keyframe k + optimize + extract the correction.
+
+        The returned chi2 is the VISUAL (reprojection) cost only: the
+        marginalization-prior expansion carries an arbitrary constant
+        that grows as the window drifts from its linearization point —
+        gating feedback on the total cost spuriously rejected healthy
+        solves (and could even go negative)."""
         st = self._add_keyframe(st, k, dt_prev, T_cam_world, lids,
                                 bearings, valid, pool_pos, imu_win,
                                 use_imu)
-        w, chi2 = wba.optimize(st.window, self.T_cam_body, self.focal,
-                               self.opts)
+        w, _ = wba.optimize(st.window, self.T_cam_body, self.focal,
+                            self.opts)
         st = st._replace(window=w)
+        e, _, _, wgt, _ = wba._reproj_terms(w, self.T_cam_body,
+                                            self.focal, self.opts)
+        chi2_vis = jnp.sum(jnp.sum(e * e, -1) * wgt)
         T_w_b_opt = SE3(w.q[k], w.p[k])
         T_new = self.T_cam_body.compose(T_w_b_opt.inverse())
-        return st, T_new, chi2
+        return st, T_new, chi2_vis
 
     def _marginalize_program(self, st: DeviceBackendState
                              ) -> DeviceBackendState:

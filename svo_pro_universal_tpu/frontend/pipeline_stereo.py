@@ -47,6 +47,7 @@ class WorldStateStereo(NamedTuple):
     pool: object
     last_frame: object
     init_ref: object
+    init_px: jax.Array
     T_rel_prev: SE3
     depth_state: jax.Array
     frames_since_kf: jax.Array
@@ -206,7 +207,8 @@ class DevicePipelineStereo(DevicePipelineMono):
         ext = np.zeros((2 * H + 1, W), np.float32)
         ext[:H] = np.asarray(img0, np.float32)
         ext[H: 2 * H] = np.asarray(img1, np.float32)
-        ext[2 * H, 0] = np.float32(timestamp)
+        # session-relative ts (f32 can't carry absolute EuRoC stamps)
+        ext[2 * H, 0] = np.float32(self._rel_ts(timestamp))
         if not hasattr(self, "_jit_stereo"):
             self._jit_stereo = jax.jit(self._step_program_stereo)
         self.world = self._jit_stereo(self.world, jnp.asarray(ext))

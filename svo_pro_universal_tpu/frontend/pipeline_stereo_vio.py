@@ -1,0 +1,161 @@
+"""Fully on-device stereo VIO: the zero-readback stereo pipeline + the
+sliding-window VI backend inside the SAME jitted step.
+
+Closes VERDICT r3 item 5 ("DevicePipelineStereo is VO-only"): the
+reference's stereo handler runs with the IMU and the ceres backend
+exactly like the mono one (reference: src/svo/src/frame_handler_stereo
+.cpp:66-213 shares FrameHandlerBase's backend hooks,
+frame_handler_base.cpp:366-455). Here the stereo world state gains the
+VIO extras (backend window, device keyframe clock, packed IMU window)
+and the keyframe branch conditionally runs the device backend — scale is
+metric from stereo triangulation, so the window solve refines rather
+than establishes gauge.
+
+Transfer discipline: ONE stacked upload per frame — [2H rows of images |
+aux rows carrying the packed IMU window + gyro-prior quaternion +
+session-relative timestamp] (same aux payload as pipeline_vio).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from svo_pro_universal_tpu.backend import device_interface as dbe
+from svo_pro_universal_tpu.backend import window_ba as wba
+from svo_pro_universal_tpu.cameras import projections as proj
+from svo_pro_universal_tpu.config import Config
+from svo_pro_universal_tpu.frontend.pipeline_stereo import (
+    DevicePipelineStereo)
+from svo_pro_universal_tpu.frontend.pipeline_vio import DevicePipelineVIO
+from svo_pro_universal_tpu.common.frame import make_empty_frame
+from svo_pro_universal_tpu.ops.pyramid import build_pyramid, image_to_float
+from svo_pro_universal_tpu.utils.transform import SE3
+
+I32 = jnp.int32
+
+
+class WorldStateStereoVIO(NamedTuple):
+    """WorldState + stereo pyramids + VIO backend fields."""
+    stage: jax.Array
+    ring: object
+    pool: object
+    last_frame: object
+    init_ref: object
+    init_px: jax.Array
+    T_rel_prev: SE3
+    depth_state: jax.Array
+    frames_since_kf: jax.Array
+    prev_n_tracked: jax.Array
+    reloc_trials: jax.Array
+    rng_key: jax.Array
+    trace_q: jax.Array
+    trace_t: jax.Array
+    trace_meta: jax.Array
+    trace_ptr: jax.Array
+    # --- stereo extras (names match WorldStateStereo) ---
+    pyr1_cur: jax.Array
+    pyr1_prev: jax.Array
+    # --- VIO extras (names match WorldStateVIO) ---
+    backend: dbe.DeviceBackendState
+    backend_k: jax.Array
+    last_kf_ts: jax.Array
+    imu_packed: jax.Array
+    backend_chi2: jax.Array
+
+
+class DevicePipelineStereoVIO(DevicePipelineStereo):
+    """Zero-readback stereo VIO with metric scale from frame one."""
+
+    def __init__(self, cfg: Config, cam0: proj.Camera, cam1: proj.Camera,
+                 T_body_cam0: SE3, T_body_cam1: SE3, seed: int = 0,
+                 imu_handler=None, trace_capacity: int = 8192,
+                 imu_params=None, gravity=None):
+        self._backend_tpl = dbe.DeviceBackend(
+            cam0.focal_length, T_body_cam0.inverse(),
+            num_keyframes=cfg.backend.num_keyframes,
+            imu_params=imu_params,
+            opts=wba.BAOptions(
+                max_iter=cfg.backend.max_iterations,
+                gravity=tuple(gravity) if gravity is not None
+                else (0.0, 0.0, -9.81)),
+            backend_cfg=cfg.backend)
+        self._imu_m = (imu_handler.window_size
+                       if imu_handler is not None else 16)
+        super().__init__(cfg, cam0, cam1, T_body_cam0, T_body_cam1,
+                         seed=seed, trace_capacity=trace_capacity)
+        self.imu = imu_handler
+
+    # ------------------------------------------------------------------
+    def _make_world(self, seed: int) -> WorldStateStereoVIO:
+        base = super()._make_world(seed)            # WorldStateStereo
+        m = self._imu_m
+        return WorldStateStereoVIO(
+            *base,
+            backend=self._backend_tpl.state,
+            backend_k=jnp.asarray(0, I32),
+            last_kf_ts=jnp.asarray(-1.0, jnp.float32),
+            imu_packed=jnp.zeros((m, 8), jnp.float32),
+            backend_chi2=jnp.asarray(0.0, jnp.float32))
+
+    # VIO helpers reused verbatim (they only touch fields by name and
+    # contain no zero-arg super() — that would bind the wrong class)
+    _vio_backend_step = DevicePipelineVIO._vio_backend_step
+    _aux_vec = DevicePipelineVIO._aux_vec
+    _aux_len = DevicePipelineVIO._aux_len
+
+    def _reset_world_extras(self, world):
+        """Full restart: zero the backend window + keyframe clock
+        (same rationale as DevicePipelineVIO._reset_world_extras)."""
+        world = super()._reset_world_extras(world)
+        return world._replace(
+            backend=self._backend_tpl.state,
+            backend_k=jnp.asarray(0, I32),
+            last_kf_ts=jnp.asarray(-1.0, jnp.float32),
+            backend_chi2=jnp.asarray(0.0, jnp.float32))
+
+    # ------------------------------------------------------------------
+    def _branch_tracking(self, world, frame, ts, T_prior_rel):
+        world, n_tracked, is_kf = super()._branch_tracking(
+            world, frame, ts, T_prior_rel)
+        world = self._vio_backend_step(world, ts, is_kf)
+        return world, n_tracked, is_kf
+
+    # ------------------------------------------------------------------
+    def _step_program_stereo_vio(self, world, ext):
+        H = self.cam.height
+        m = self._imu_m
+        img0 = ext[:H]
+        img1 = ext[H: 2 * H]
+        aux = ext[2 * H:].reshape(-1)[: self._aux_len]
+        packed = aux[: m * 8].reshape(m, 8)
+        q = aux[m * 8: m * 8 + 4]
+        ts = aux[m * 8 + 4]
+        pyr1 = build_pyramid(image_to_float(img1), self.n_levels)
+        world = world._replace(pyr1_prev=world.pyr1_cur, pyr1_cur=pyr1,
+                               imu_packed=packed)
+        pyr0 = build_pyramid(image_to_float(img0), self.n_levels)
+        frame = make_empty_frame(pyr0, self.max_fts,
+                                 T_cam_body=self.T_cam_body, timestamp=ts)
+        prior = SE3(q, world.T_rel_prev.t)
+        return self._run_state_machine(world, frame, ts, prior)
+
+    def add_image_pair(self, img0, img1, timestamp: float):
+        """One stacked upload ([2H + aux rows, W]); one async dispatch;
+        nothing read back."""
+        import numpy as np
+        self.frame_count += 1
+        H, W = self.cam.height, self.cam.width
+        aux = self._aux_vec(timestamp)
+        rows = -(-aux.size // W)
+        ext = np.zeros((2 * H + rows, W), np.float32)
+        ext[:H] = np.asarray(img0, np.float32)
+        ext[H: 2 * H] = np.asarray(img1, np.float32)
+        ext[2 * H:].reshape(-1)[: aux.size] = aux
+        if not hasattr(self, "_jit_stereo_vio"):
+            self._jit_stereo_vio = jax.jit(self._step_program_stereo_vio)
+        self.world = self._jit_stereo_vio(self.world, jnp.asarray(ext))
+        self._last_ts = timestamp
+        return None
