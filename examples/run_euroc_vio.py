@@ -25,6 +25,14 @@ def main():
     ap.add_argument("--out", default="/tmp/svo_tpu_traj_vio.txt")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--eval", action="store_true")
+    ap.add_argument("--results-dir", default=None,
+                    help="write the rpg_trajectory_evaluation results "
+                         "layout (stamped_traj_estimate.txt, "
+                         "stamped_groundtruth.txt, eval_cfg.yaml, "
+                         "ate_summary.yaml) to this directory — the "
+                         "push-button equivalent of the reference's "
+                         "benchmark harness "
+                         "(extra/svo_benchmarking/scripts/benchmark.py)")
     ap.add_argument("--device-pipeline", action="store_true",
                     help="zero-readback on-device VIO pipeline "
                          "(DevicePipelineVIO): maximum throughput, "
@@ -85,7 +93,17 @@ def main():
     save_trajectory_tum(args.out, stamps, poses)
     print(f"saved {len(poses)} poses to {args.out}")
 
-    if args.eval:
+    if args.results_dir:
+        from svo_pro_universal_tpu.evaluation import write_rpg_results
+        summary = write_rpg_results(
+            args.results_dir, stamps, poses, ds.ground_truth(),
+            align_type="sim3",
+            extra_files={"experiment.yaml": args.config,
+                         "calib.yaml": args.calib})
+        print(f"results written to {args.results_dir}")
+        for k, v in summary.items():
+            print(f"  {k}: {v}")
+    elif args.eval:
         gt = ds.ground_truth()
         ts_gt = np.asarray([g.timestamp for g in gt])
         p_gt = np.stack([g.p for g in gt])

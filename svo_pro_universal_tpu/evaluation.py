@@ -110,3 +110,71 @@ def load_trajectory_tum(path: str) -> tuple[np.ndarray, np.ndarray]:
     if data.ndim == 1:
         data = data[None]
     return data[:, 0], data[:, 1:4]
+
+
+def write_rpg_results(results_dir: str, stamps, poses,
+                      gt_samples, align_type: str = "posyaw",
+                      align_num_frames: int = -1,
+                      extra_files: dict | None = None) -> dict:
+    """Emit the rpg_trajectory_evaluation results layout in one call —
+    the push-button counterpart of the reference's benchmark harness
+    (reference: extra/svo_benchmarking/scripts/benchmark.py:180-199
+    writes eval_cfg.yaml + copies stamped_groundtruth.txt; README.md:
+    75-97 documents stamped_traj_estimate.txt). The directory is directly
+    consumable by the external rpg toolbox; an in-repo ATE/RPE summary
+    (ate_summary.yaml) is additionally computed so no external tooling is
+    needed for a number.
+
+    gt_samples: list of objects with .timestamp, .p [3], .q [4] (wxyz) —
+    e.g. EurocDataset.ground_truth().
+    Returns the summary dict.
+    """
+    import os
+    os.makedirs(results_dir, exist_ok=True)
+    save_trajectory_tum(os.path.join(results_dir,
+                                     "stamped_traj_estimate.txt"),
+                        stamps, poses)
+    with open(os.path.join(results_dir, "stamped_groundtruth.txt"),
+              "w") as f:
+        for g in gt_samples:
+            # rpg/TUM order: t x y z qx qy qz qw (EuRoC GT q is wxyz)
+            f.write(f"{g.timestamp:.9f} {g.p[0]:.6f} {g.p[1]:.6f} "
+                    f"{g.p[2]:.6f} {g.q[1]:.6f} {g.q[2]:.6f} "
+                    f"{g.q[3]:.6f} {g.q[0]:.6f}\n")
+    with open(os.path.join(results_dir, "eval_cfg.yaml"), "w") as f:
+        f.write(f"align_type: {align_type}\n"
+                f"align_num_frames: {align_num_frames}\n")
+    for name, src in (extra_files or {}).items():
+        import shutil
+        if src and os.path.isfile(src):
+            shutil.copyfile(src, os.path.join(results_dir, name))
+
+    # in-repo summary (sim3 + se3 ATE, rpg-style per-segment RPE)
+    summary: dict = {"n_frames": len(stamps)}
+    try:
+        ts_gt = np.asarray([g.timestamp for g in gt_samples])
+        p_gt = np.stack([g.p for g in gt_samples])
+        ie, ig = associate(np.asarray(stamps, np.float64), ts_gt)
+        est_pos = np.stack([np.asarray(poses[i])[:3, 3] for i in ie])
+        gt_pos = p_gt[ig]
+        for align in ("sim3", "se3"):
+            rmse, a = ate_rmse(est_pos, gt_pos, align=align)
+            summary[f"ate_rmse_{align}_m"] = float(rmse)
+            if align == "sim3":
+                summary["scale"] = float(a.s)
+        traj_len = float(np.linalg.norm(np.diff(gt_pos, axis=0),
+                                        axis=-1).sum())
+        summary["traj_length_m"] = traj_len
+        for delta in (10, 30):
+            if len(est_pos) > delta + 1:
+                errs = relative_errors(est_pos, gt_pos, delta=delta,
+                                       align="sim3")
+                if errs.size:
+                    summary[f"rpe_{delta}f_median_m"] = float(
+                        np.median(errs))
+    except Exception as e:        # GT overlap too small etc.
+        summary["eval_error"] = str(e)[:200]
+    with open(os.path.join(results_dir, "ate_summary.yaml"), "w") as f:
+        for k, v in summary.items():
+            f.write(f"{k}: {v}\n")
+    return summary

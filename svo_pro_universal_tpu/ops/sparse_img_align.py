@@ -27,6 +27,7 @@ reference's image-border visibility check.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Sequence
 
 import jax
@@ -36,6 +37,16 @@ from svo_pro_universal_tpu.cameras import projections as proj
 from svo_pro_universal_tpu.ops import tiles as tl
 from svo_pro_universal_tpu.utils.transform import (
     SE3, quat_to_matrix, se3_exp, se3_log, skew)
+
+
+def _use_fused_evaluate() -> bool:
+    """Fused Pallas evaluate kernel on real TPU (ops/pallas_align.py);
+    the XLA op-by-op path remains for CPU tests and as the reference
+    semantics (SVO_NO_FUSED_ALIGN=1 opts out)."""
+    if os.environ.get("SVO_NO_FUSED_ALIGN", ""):
+        return False
+    from svo_pro_universal_tpu.ops.pallas_tiles import pallas_supported
+    return pallas_supported()
 
 CUR_TILE = 24     # per-feature current-image tile (patch 4 + ~±9px margin)
 REF_TILE = 12     # reference patch-with-border tile
@@ -234,6 +245,8 @@ def run(
             tb = extract_cur_tiles(inp, xyz_ref, T_cur_ref0, level)
             caches.append((xyz_ref, ref_patch, jac, ok & inp.valid, tb))
 
+        use_fused = _use_fused_evaluate()
+
         def evaluate(st: AlignState):
             H = jnp.zeros((8, 8), jnp.float32)
             g = jnp.zeros((8,), jnp.float32)
@@ -243,6 +256,39 @@ def run(
                                                               caches):
                 T_cur_ref = (inp.T_cam_body.compose(st.T_icur_iref)
                              .compose(inp.T_cam_body.inverse()))
+                if use_fused:
+                    # ONE Pallas program: bilinear patch sample +
+                    # residual + 8×8 normal-system reduction (the
+                    # XLA path below emits ~15 small ops whose launch
+                    # overheads dominate at these tensor sizes)
+                    from svo_pro_universal_tpu.ops import pallas_align
+                    P = opts.patch_size
+                    scale = 1.0 / (1 << level)
+                    xyz_cur = T_cur_ref.apply(xyz_ref)
+                    uv_cur, _ = proj.project(inp.cam, xyz_cur)
+                    cpy = (P - 1) / 2.0
+                    ys0 = uv_cur[:, 1] * scale - cpy   # patch px (0,0)
+                    xs0 = uv_cur[:, 0] * scale - cpy
+                    ty = ys0 - tb.y0.astype(ys0.dtype)
+                    tx = xs0 - tb.x0.astype(xs0.dtype)
+                    R, T = tb.shape_rt
+                    eps = 1e-6
+                    lh = (tb.lh - 1).astype(ys0.dtype) - eps
+                    lw = (tb.lw - 1).astype(xs0.dtype) - eps
+                    vis = ((ty >= 0) & (ty + (P - 1) <= R - 1 + eps)
+                           & (tx >= 0) & (tx + (P - 1) <= T - 1 + eps)
+                           & (ys0 >= 0) & (ys0 + (P - 1) <= lh)
+                           & (xs0 >= 0) & (xs0 + (P - 1) <= lw)
+                           & (xyz_cur[:, 2] > 0.0))
+                    wf = (vis & ok).astype(jnp.float32)
+                    Hc, gc, c2c, nmc = pallas_align.fused_evaluate(
+                        tb.tiles, ty, tx, wf, ref_patch, jac,
+                        st.alpha, st.beta, P)
+                    H = H + Hc
+                    g = g + gc
+                    c2 = c2 + c2c
+                    nm = nm + nmc.astype(jnp.int32)
+                    continue
                 res, vis = compute_residuals(
                     inp, tb, xyz_ref, ref_patch, T_cur_ref, st.alpha,
                     st.beta, level, opts.patch_size)
