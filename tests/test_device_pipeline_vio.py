@@ -98,3 +98,53 @@ def test_device_vio_zero_readback_tracks():
     rmse, a = ate_rmse(ep, gt, align="sim3")
     traj_len = np.linalg.norm(np.diff(gt, axis=0), axis=-1).sum()
     assert rmse < 0.15 * max(traj_len, 0.1), (rmse, traj_len, a.s)
+
+
+@pytest.mark.slow
+def test_device_vio_batched_feed_matches_single():
+    """Throughput mode (add_images_batched: one upload + one scanned
+    dispatch per B frames) must produce EXACTLY the same world state as
+    per-frame feeding — it is the same step program under lax.scan."""
+    def run(batched):
+        cfg = make_config()
+        cfg.backend.num_keyframes = 5
+        cfg.base.quality_min_fts = 8
+        imu = ImuHandler(ImuParams())
+        h = DevicePipelineVIO(cfg, CAM, imu_handler=imu,
+                              imu_params=ImuParams(), trace_capacity=32,
+                              gravity=tuple(G_W))
+        imu_stream, cam_poses, cam_ts = simulate_fast(duration=1.6)
+        frames = [np.asarray(render_sphere_view(T)) for T in cam_poses]
+        i_imu = 0
+        B = 4
+        for b0 in range(0, len(frames), B):
+            b1 = min(b0 + B, len(frames))
+            ts_end = cam_ts[b1 - 1]
+            while (i_imu < len(imu_stream)
+                   and imu_stream[i_imu][0] <= ts_end):
+                t, w, a = imu_stream[i_imu]
+                imu.add_measurement(t, w, a)
+                i_imu += 1
+            if batched:
+                h.add_images_batched(frames[b0:b1], cam_ts[b0:b1])
+            else:
+                for t in range(b0, b1):
+                    h.add_image(frames[t], cam_ts[t])
+        mats, meta = h.drain()
+        return mats, meta
+
+    m1, meta1 = run(batched=False)
+    m2, meta2 = run(batched=True)
+    assert meta1.shape == meta2.shape
+    # the scanned and per-frame programs are the SAME step function but
+    # separate XLA compilations — fusion order shifts f32 rounding and
+    # the pipeline amplifies it into small feature-count differences.
+    # Assert structural equivalence, not bit equality.
+    np.testing.assert_array_equal(meta1[:, 0], meta2[:, 0])   # stages
+    assert abs(meta1[:, 2].sum() - meta2[:, 2].sum()) <= 2    # keyframes
+    assert np.median(np.abs(meta1[:, 1] - meta2[:, 1])) <= 8  # n_tracked
+    # trajectories agree to a fraction of the scene scale (the rounding
+    # divergence compounds over frames — observed ~5 cm by frame 16 on
+    # this 2 m-depth scene)
+    d = np.linalg.norm(m1[:, :3, 3] - m2[:, :3, 3], axis=-1)
+    assert np.max(d) < 0.1, np.max(d)
