@@ -282,14 +282,14 @@ def main():
                     0.5 * r_loop * (1.0 - np.cos(a)),
                     0.02 * np.sin(a), 0.03 * np.sin(a), 0.0], np.float32)
 
-            n_slam = 120                 # ~1.9 laps
+            n_slam = 160                 # ~2.5 laps
             warm_slam = 16
             poses2, frames2, imu2 = make_sequence(loop_twist, n_slam,
                                                   degrade_seed=11)
             imu_s = ImuHandler(ImuParams())
             so = SlamOptions(max_db_keyframes=128, max_nodes=128,
-                             gm_landmarks=384, min_temporal_gap=8,
-                             min_inliers=15)
+                             gm_landmarks=384, min_temporal_gap=6,
+                             min_similarity=0.75, min_inliers=15)
             slam = DevicePipelineSLAM(cfg, cam, imu_handler=imu_s,
                                       imu_params=ImuParams(),
                                       trace_capacity=n_slam + 1,
