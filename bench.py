@@ -241,6 +241,10 @@ def main():
         "fps_chunks": [round(f, 1) for f in chunk_fps],
         "backend_keyframes": int(np.asarray(handler.world.backend_k)),
         "n_tracking": n_tracking,
+        # scale diagnosis: depth_state starts at the 4.0 m prior; the
+        # ratio to its final value is the net applied scale correction
+        "depth_med_final": round(float(
+            np.asarray(handler.world.depth_state[0])), 3),
     }
 
     # ---- trajectory accuracy from the SAME run (VERDICT r2 item 7) ----

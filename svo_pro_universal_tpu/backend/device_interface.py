@@ -83,6 +83,10 @@ class DeviceBackend:
         self.scale_correction = getattr(bc, "scale_correction", True)
         self.max_scale_step = getattr(bc, "max_scale_step", 1.15)
         self.min_scale_support = getattr(bc, "min_scale_support", 12)
+        # deadband on the median-ratio transfer: sub-2% "corrections"
+        # are median noise, and a small per-keyframe bias compounded
+        # into the measured 0.18 bench scale drift
+        self.scale_deadband = getattr(bc, "scale_deadband", 0.02)
         # solve-health gate: feedback (pose, landmarks, scale) only
         # applies when the post-solve cost is sane per observation — an
         # unconverged window (garbage pose fed in during marginal
@@ -340,10 +344,10 @@ class DeviceBackend:
                      & (jnp.sum(sup.astype(jnp.int32))
                         >= self.min_scale_support)
                      & jnp.isfinite(s_raw)
-                     # deadband: don't churn the whole map for sub-1%
+                     # deadband: don't churn the whole map for
                      # median-noise "corrections"
                      & (jnp.abs(jnp.log(jnp.maximum(s_raw, 1e-6)))
-                        > 0.01))
+                        > self.scale_deadband))
             s = jnp.where(trust,
                           jnp.clip(s_raw, 1.0 / self.max_scale_step,
                                    self.max_scale_step),

@@ -48,7 +48,10 @@ class LoopClosingOptions(NamedTuple):
     min_temporal_gap: int = 8           # skip recent keyframes
     max_keyframes: int = 512            # preallocated database capacity
     patch_size: int = 16           # large patches disambiguate repeats
-    max_match_zmssd_per_px: float = 500.0
+    # per-pixel score gate in NORMALIZED (unit-variance) patch units:
+    # the score is 2(1−NCC) per px; 1.6 ≈ require NCC ≥ 0.2 (rotated
+    # revisits land near 0.3; the mutual-NN + ratio test discriminate)
+    max_match_zmssd_per_px: float = 1.6
     ratio_test: float = 0.8
     min_inliers: int = 20
     ransac_thresh_px: float = 2.0
@@ -125,10 +128,30 @@ def snapshot_keyframe(image: jax.Array, px: jax.Array, f: jax.Array,
         px, f, depth, patches, valid & ok)
 
 
+def _normalize_patches(p: jax.Array) -> jax.Array:
+    """Zero-mean, unit-variance per patch: ZMSSD alone is offset-
+    invariant but a lap of exposure/GAIN drift between visits scales the
+    patch contrast and swamped the score on degraded imagery (bench:
+    place similarity 0.997 yet every verification failed). Normalized,
+    the score is a monotone function of NCC — fully affine-invariant."""
+    mu = jnp.mean(p, axis=-1, keepdims=True)
+    c = p - mu
+    sd = jnp.sqrt(jnp.mean(c * c, axis=-1, keepdims=True))
+    return c / jnp.maximum(sd, 1e-3)
+
+
 def match_snapshots(a: KeyframeSnapshot, b: KeyframeSnapshot,
                     opts: LoopClosingOptions = LoopClosingOptions()
                     ) -> tuple[jax.Array, jax.Array]:
-    """Mutual-NN patch matching. Returns (idx_b_for_a [Na], ok [Na])."""
+    """Mutual-NN patch matching. Returns (idx_b_for_a [Na], ok [Na]).
+
+    SELECTION (nearest neighbor + ratio + mutual check) runs on the RAW
+    zero-mean score — it weights high-contrast structure and its
+    ordering is stable under a uniform gain change; ACCEPTANCE of the
+    selected pair uses the gain-NORMALIZED score, because a lap of
+    exposure/gain drift between visits inflates the raw score uniformly
+    (bench: place similarity 0.997 yet every raw-thresholded
+    verification failed on degraded imagery)."""
     score = zmssd(a.patches[:, None, :], b.patches[None, :, :])  # [Na,Nb]
     big = jnp.asarray(1e12, score.dtype)
     score = jnp.where(a.valid[:, None] & b.valid[None, :], score, big)
@@ -140,7 +163,12 @@ def match_snapshots(a: KeyframeSnapshot, b: KeyframeSnapshot,
     nn_ba = jnp.argmin(score, axis=0)
     mutual = nn_ba[nn_ab] == jnp.arange(a.px.shape[0])
     area = a.patches.shape[1]
-    ok = (a.valid & mutual & (best < opts.max_match_zmssd_per_px * area)
+    # gain-invariant acceptance score of the selected pair only
+    pa = _normalize_patches(a.patches)
+    pb = _normalize_patches(b.patches)[nn_ab]
+    nbest = jnp.sum((pa - pb) ** 2, axis=-1)
+    ok = (a.valid & mutual
+          & (nbest < opts.max_match_zmssd_per_px * area)
           & (best < opts.ratio_test * second))
     return nn_ab, ok
 

@@ -61,6 +61,7 @@ class BAOptions(NamedTuple):
     vi_alignment: bool = True
     vi_align_min_factors: int = 2
     vi_align_max_residual: float = 0.5   # mean-square row residual gate
+    vi_align_max_sigma: float = 0.03     # relative α precision required
 
 
 class Window(NamedTuple):
@@ -469,15 +470,25 @@ def vi_alignment(w: Window, opts: BAOptions
     # damp the velocity blocks of untouched states so the system stays
     # invertible; keep α essentially undamped
     AtA = A.T @ A + jnp.diag(jnp.full((nvar,), 1e-6).at[0].set(1e-9))
-    x = jnp.linalg.solve(AtA, A.T @ b)
+    AtA_inv = jnp.linalg.inv(AtA)
+    x = AtA_inv @ (A.T @ b)
     alpha = x[0]
     v_est = x[1:].reshape(S, 3)
     resid = A @ x - b
     ms_res = jnp.sum(resid * resid) / jnp.maximum(
         6.0 * n_fac.astype(jnp.float32), 1.0)
+    # OBSERVABILITY gate: scale is only identified when acceleration
+    # varies; under weak excitation the α column is near-collinear with
+    # the velocity columns and a noisy α would SET a wrong scale
+    # (measured: bench scale_error 0.03 → 0.20 run-to-run without this).
+    # std(α) ≈ sqrt(residual-variance · (AᵀA)⁻¹[0,0]).
+    std_alpha = jnp.sqrt(jnp.maximum(ms_res, 1e-12)
+                         * jnp.maximum(AtA_inv[0, 0], 0.0))
     ok = ((n_fac >= opts.vi_align_min_factors)
           & jnp.isfinite(alpha) & (alpha > 0.2) & (alpha < 5.0)
-          & (ms_res < opts.vi_align_max_residual))
+          & (ms_res < opts.vi_align_max_residual)
+          & (std_alpha < opts.vi_align_max_sigma
+             * jnp.maximum(alpha, 1e-3)))
     return alpha, v_est, ok
 
 

@@ -70,7 +70,9 @@ class SlamOptions(NamedTuple):
     min_similarity: float = 0.8
     min_temporal_gap: int = 8        # in PGO node ids
     ratio_test: float = 0.8
-    max_match_zmssd_per_px: float = 500.0
+    # per-px gate in unit-variance patch units (2(1−NCC); see
+    # loop_closing._normalize_patches)
+    max_match_zmssd_per_px: float = 1.6
     min_inliers: int = 20
     verify_iters: int = 15
     ransac_thresh_px: float = 2.0
@@ -129,6 +131,7 @@ class WorldStateSLAM(NamedTuple):
     gm_uid: jax.Array        # [G] i32 pool uid per slot (-1 free)
     gm_pos: jax.Array        # [G, 3]
     gm_n: jax.Array          # i32 ring allocation counter
+    lc_best_sim: jax.Array   # f32 max eligible query similarity (debug)
 
 
 class DevicePipelineSLAM(DevicePipelineVIO):
@@ -171,7 +174,8 @@ class DevicePipelineSLAM(DevicePipelineVIO):
             last_loop_to=jnp.asarray(-1, I32),
             gm_uid=jnp.full((so.gm_landmarks,), -1, I32),
             gm_pos=jnp.zeros((so.gm_landmarks, 3)),
-            gm_n=jnp.asarray(0, I32))
+            gm_n=jnp.asarray(0, I32),
+            lc_best_sim=jnp.asarray(-1.0, jnp.float32))
 
     def _reset_world_extras(self, world):
         """Full restart: the SLAM stores describe a dead world frame."""
@@ -387,6 +391,9 @@ class DevicePipelineSLAM(DevicePipelineVIO):
         sims = jnp.where(elig, sims, -jnp.inf)
         best = jnp.argmax(sims).astype(I32)
         cand_ok = sims[best] >= so.min_similarity
+        w = w._replace(lc_best_sim=jnp.maximum(
+            w.lc_best_sim, jnp.where(jnp.isfinite(sims[best]),
+                                     sims[best], -1.0)))
 
         # ---- insert the snapshot (ring eviction past capacity) --------
         row = jnp.mod(w.lc_n, K)
@@ -521,4 +528,6 @@ class DevicePipelineSLAM(DevicePipelineVIO):
                                   self.slam.max_db_keyframes)),
             "gm_landmarks": int(np.asarray(jnp.sum(
                 (self.world.gm_uid >= 0).astype(I32)))),
+            "lc_best_sim": round(float(
+                np.asarray(self.world.lc_best_sim)), 3),
         }
