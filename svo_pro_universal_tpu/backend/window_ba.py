@@ -495,9 +495,18 @@ def vi_alignment(w: Window, opts: BAOptions
 def maybe_vi_align(w: Window, opts: BAOptions) -> Window:
     """Apply the closed-form alignment as a similarity about state 0
     (positions, landmarks; velocities replaced by the solved metric
-    ones). Skipped once a marginalization prior exists — its information
-    is expressed at the previous scale, and by then the window is
-    already aligned (the prior itself would fight the move)."""
+    ones).
+
+    A material correction (|log α| beyond the deadband) is applied even
+    once a marginalization prior exists — the prior is then DROPPED,
+    exactly like a loop correction (its information is expressed at the
+    stale scale and would fight the move; the reference exposes the same
+    policy as remove_marginalization_term_after_correction). This
+    matters when the init phase had too little acceleration excitation
+    to observe scale: the observability gate correctly refuses then, and
+    the alignment must be allowed to land LATER when motion builds up
+    (measured: a 1.2× init-prior miscalibration persisted for a whole
+    bench run because alignment was prior-locked after 5 keyframes)."""
     alpha, v_est, ok = vi_alignment(w, opts)
 
     def apply(wx: Window) -> Window:
@@ -506,10 +515,16 @@ def maybe_vi_align(w: Window, opts: BAOptions) -> Window:
         return wx._replace(
             p=c[None] + alpha * (wx.p - c[None]),
             v=jnp.where(sv, v_est, wx.v),
-            lm_pos=c[None] + alpha * (wx.lm_pos - c[None]))
+            lm_pos=c[None] + alpha * (wx.lm_pos - c[None]),
+            H_prior=jnp.zeros_like(wx.H_prior),
+            b_prior=jnp.zeros_like(wx.b_prior),
+            q0=wx.q, p0=c[None] + alpha * (wx.p - c[None]),
+            v0=jnp.where(sv, v_est, wx.v),
+            bg0=wx.bg, ba0=wx.ba,
+            has_prior=jnp.asarray(False))
 
-    do = ok & ~w.has_prior & (jnp.abs(jnp.log(
-        jnp.maximum(alpha, 1e-6))) > 0.01)
+    deadband = jnp.where(w.has_prior, 0.03, 0.01)
+    do = ok & (jnp.abs(jnp.log(jnp.maximum(alpha, 1e-6))) > deadband)
     return jax.lax.cond(do, apply, lambda x: x, w)
 
 
