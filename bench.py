@@ -165,9 +165,12 @@ def main():
     cfg.detector.threshold_primary = 8.0
     cfg.init.init_min_disparity = 20.0
     cfg.init.reproj_error_thresh = 1.0
-    # scene depth prior: the sphere+plane scene spans ~2.8-4.5 m
-    # (the reference ships per-dataset depth priors the same way)
-    cfg.init.expected_avg_depth = 4.0
+    # scene depth prior: the sphere+plane scene spans ~1.4-4.5 m along
+    # the init rays; the measured mean INIT-FEATURE depth is ~3.4 m
+    # (4.0 left the mono map 1.19x too large — visible as a persistent
+    # sim3 scale offset; the reference ships calibrated per-dataset
+    # depth priors the same way, map_scale in its YAML)
+    cfg.init.expected_avg_depth = 3.4
     cfg.init.init_min_features = 60
     cfg.init.init_min_tracked = 40
     cfg.init.init_min_inliers = 30
