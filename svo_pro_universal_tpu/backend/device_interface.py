@@ -83,10 +83,14 @@ class DeviceBackend:
         self.scale_correction = getattr(bc, "scale_correction", True)
         self.max_scale_step = getattr(bc, "max_scale_step", 1.15)
         self.min_scale_support = getattr(bc, "min_scale_support", 12)
-        # deadband on the median-ratio transfer: sub-2% "corrections"
-        # are median noise, and a small per-keyframe bias compounded
-        # into the measured 0.18 bench scale drift
-        self.scale_deadband = getattr(bc, "scale_deadband", 0.02)
+        # damped median-ratio transfer: a hard deadband let steady mono
+        # scale drift (~1.5%/keyframe, measured) pass UNDERNEATH it
+        # uncorrected, while undamped transfer churned the map with
+        # median noise. Exponential damping s^γ keeps persistent
+        # disagreement accumulating toward the window's (IMU-pinned)
+        # scale while zero-mean noise averages out.
+        self.scale_deadband = getattr(bc, "scale_deadband", 0.003)
+        self.scale_damping = getattr(bc, "scale_damping", 0.5)
         # solve-health gate: feedback (pose, landmarks, scale) only
         # applies when the post-solve cost is sane per observation — an
         # unconverged window (garbage pose fed in during marginal
@@ -348,8 +352,10 @@ class DeviceBackend:
                      # median-noise "corrections"
                      & (jnp.abs(jnp.log(jnp.maximum(s_raw, 1e-6)))
                         > self.scale_deadband))
+            s_damped = jnp.exp(self.scale_damping
+                               * jnp.log(jnp.maximum(s_raw, 1e-6)))
             s = jnp.where(trust,
-                          jnp.clip(s_raw, 1.0 / self.max_scale_step,
+                          jnp.clip(s_damped, 1.0 / self.max_scale_step,
                                    self.max_scale_step),
                           1.0)
             # when the per-keyframe step bound BINDS, the window and the
@@ -359,7 +365,8 @@ class DeviceBackend:
             # points with full-metric window points measurably corrupted
             # the map and made the correction oscillate
             clip_binds = trust & (jnp.abs(
-                jnp.log(jnp.maximum(s_raw, 1e-6)) - jnp.log(s)) > 0.02)
+                jnp.log(jnp.maximum(s_damped, 1e-6))
+                - jnp.log(s)) > 0.02)
         else:
             s = jnp.asarray(1.0)
             clip_binds = jnp.asarray(False)

@@ -214,7 +214,8 @@ class BackendOptions:
     scale_correction: bool = True
     max_scale_step: float = 1.15         # per-keyframe scale step bound
     min_scale_support: int = 12          # landmarks needed to trust s
-    scale_deadband: float = 0.02         # |log s| below this: no-op
+    scale_deadband: float = 0.003        # |log s_raw| below this: no-op
+    scale_damping: float = 0.5           # transfer s_raw^γ per keyframe
     # feedback only applies when the post-solve cost per observation is
     # sane (reference: skip_optimization_when_tracking_bad,
     # ceres_backend_factory.cpp:84-86)
