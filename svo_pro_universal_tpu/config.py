@@ -187,6 +187,16 @@ class BackendOptions:
     num_imu_frames: int = 3
     max_iterations: int = 3
     marginalize: bool = True
+    # temporal (non-keyframe) backend states: insert a window state
+    # whenever the newest one is older than this, keyframe or not — the
+    # reference's window is num_keyframes KFs PLUS num_imu_frames
+    # per-frame temporal states (ceres_backend_interface.hpp:21-58), so
+    # its IMU factors span ≲0.1 s; a keyframes-only window leaves factor
+    # gaps of 0.5–2.5 s (measured r5) that break preintegration validity
+    # (max_imu_dt_between_kfs) and starve the VI alignment of factors
+    temporal_state_max_dt: float = 0.3
+    # no IMU factor across a longer gap (stale velocities / truncation)
+    max_imu_dt_between_kfs: float = 0.6
     # observation ingestion gate: a frontend feature must reproject its
     # landmark within this many px to enter the window (reference:
     # outlier_rejection_px_threshold, ceres_backend_factory.cpp:81)
@@ -216,6 +226,9 @@ class BackendOptions:
     min_scale_support: int = 12          # landmarks needed to trust s
     scale_deadband: float = 0.003        # |log s_raw| below this: no-op
     scale_damping: float = 0.5           # transfer s_raw^γ per keyframe
+    # scale transfer requires the window's scale to be OBSERVABLE:
+    # relative std of the closed-form VI-alignment β below this
+    scale_obs_max_rel_std: float = 0.15
     # feedback only applies when the post-solve cost per observation is
     # sane (reference: skip_optimization_when_tracking_bad,
     # ceres_backend_factory.cpp:84-86)

@@ -448,6 +448,14 @@ class FrameHandlerMono:
         pool, slots = allocate(pool, xyz_w, converged)
         # observations: the anchor keyframe and this new keyframe
         new_slot = eviction_slot(ring, frame.T_world_cam.t)
+        # evicting a ring slot invalidates every pool observation that
+        # references it — stale rows would rebind to the NEW keyframe's
+        # pose/bearings and poison the structure GN (see
+        # point.invalidate_keyframe_observations)
+        from svo_pro_universal_tpu.common.point import \
+            invalidate_keyframe_observations
+        pool = invalidate_keyframe_observations(pool, new_slot,
+                                                ring.valid[new_slot])
         pool = add_observations(pool, slots, frame.seed_ref_kf, fidx,
                                 converged)
         pool = add_observations(

@@ -79,9 +79,15 @@ class DevicePipelineStereoVIO(DevicePipelineStereo):
             imu_params=imu_params,
             opts=wba.BAOptions(
                 max_iter=cfg.backend.max_iterations,
+                # stereo scale is metric from triangulation — the mono
+                # gauge-establishing machinery must stay OFF or a noisy
+                # alignment α could rescale a correctly-metric map
+                # (ADVICE r4 low)
+                vi_alignment=False,
                 gravity=tuple(gravity) if gravity is not None
                 else (0.0, 0.0, -9.81)),
             backend_cfg=cfg.backend)
+        self._backend_tpl.scale_correction = False
         self._imu_m = (imu_handler.window_size
                        if imu_handler is not None else 16)
         super().__init__(cfg, cam0, cam1, T_body_cam0, T_body_cam1,

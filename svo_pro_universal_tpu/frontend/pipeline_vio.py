@@ -170,8 +170,17 @@ class DevicePipelineVIO(DevicePipelineMono):
                 backend_chi2=chi2)
 
         from svo_pro_universal_tpu.frontend.frame_handler import Stage
+        # keyframes always enter the window; between keyframes a TEMPORAL
+        # state is inserted whenever the newest window state is older
+        # than temporal_dt — the reference's num_imu_frames design
+        # (ceres_backend_interface.hpp:21-58). Keyframes-only ingestion
+        # left 0.5–2.5 s factor gaps that tripped max_imu_gap and starved
+        # the VI alignment (measured r5: 2/4 valid factors).
+        temporal = ((world.last_kf_ts >= 0.0)
+                    & (jnp.asarray(ts, jnp.float32) - world.last_kf_ts
+                       >= be.temporal_dt))
         return jax.lax.cond(
-            is_kf & (world.stage == Stage.TRACKING.value),
+            (is_kf | temporal) & (world.stage == Stage.TRACKING.value),
             run_backend, lambda w: w, world)
 
     # ------------------------------------------------------------------

@@ -197,11 +197,15 @@ class FrameHandlerSLAM(FrameHandlerMono):
                 out = self.loop_closer._verify(-1, snap, cand,
                                                self.cam.focal_length)
                 if out is not None:
-                    T_old_wc = self._kf_poses[cand.kf_id]  # T_world_cam
+                    # cand.kf_id is a database ROW; once ring eviction
+                    # starts, rows no longer equal node ids — map through
+                    # kf_ids like _verify does (ADVICE r4 medium)
+                    node_id = int(self.loop_closer.kf_ids[cand.kf_id])
+                    T_old_wc = self._kf_poses[node_id]     # T_world_cam
                     T_new_cw = out.T_cur_old.compose(T_old_wc.inverse())
                     self.last_frame = self.last_frame._replace(
                         T_cam_world=T_new_cw)
-                    self.stats["reloc_pr_node"] = cand.kf_id
+                    self.stats["reloc_pr_node"] = node_id
         return super()._process_reloc(frame)
 
     def pgo_trajectory(self) -> np.ndarray:
