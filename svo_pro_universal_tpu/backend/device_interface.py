@@ -47,6 +47,25 @@ class DeviceBackendState(NamedTuple):
     slot_lid: jax.Array     # [L] i32 pool landmark id per slot (-1 free)
     slot_age: jax.Array     # [L] i32 last-touched counter (LRU eviction)
     next_age: jax.Array     # i32
+    # --- long-horizon VI-initialization buffer -------------------------
+    # The 5-state window's 0.15–0.3 s IMU factors floor the closed-form
+    # alignment's scale precision at rel_std ≈ 0.15 (the ½aΔt² signal is
+    # ~10 mm vs ~4 mm visual position noise — measured r5), so scale is
+    # estimated over a KEYFRAME-rate buffer of A states spanning
+    # several seconds: Δt ≈ 0.5 s raises the signal quadratically to
+    # ~100 mm and rel_std reaches the 3% gate. This is the VINS-Mono
+    # sliding-window initialization horizon (§V-B); the reference's
+    # OKVIS backend gets the equivalent from its num_imu_frames chain.
+    abuf_q: jax.Array       # [A, 4] body orientation at insertion
+    abuf_p: jax.Array       # [A, 3] body position (frontend map units)
+    abuf_imu: object        # PreintFactor [A-1] between consecutive slots
+    abuf_fvalid: jax.Array  # [A-1]
+    abuf_n: jax.Array       # i32 slots filled
+    abuf_last_ts: jax.Array  # f32 session ts of newest slot (-1 none)
+    abuf_rel: jax.Array     # f32 latest buffer-alignment rel_std (inf)
+    # similarity the NEXT _apply_program call must apply to the frontend
+    # (1.0 = none); set when the buffer alignment fires
+    pending_scale: jax.Array  # f32
 
 
 class DeviceBackend:
@@ -105,16 +124,47 @@ class DeviceBackend:
         self.max_imu_gap = getattr(bc, "max_imu_dt_between_kfs", 0.6)
         # temporal-state cadence (reference num_imu_frames semantics)
         self.temporal_dt = getattr(bc, "temporal_state_max_dt", 0.3)
+        # long-horizon alignment buffer knobs
+        self.align_buffer_len = getattr(bc, "align_buffer_len", 12)
+        self.align_min_factors = getattr(bc, "align_min_factors", 4)
+        self.align_deadband = getattr(bc, "align_deadband", 0.02)
+        self.align_max_gap = getattr(bc, "align_max_gap", 1.2)
+        self.align_max_rel_std = getattr(bc, "align_max_rel_std", 0.13)
+        self.align_damping = getattr(bc, "align_damping", 0.5)
+        # buffer insertion is TIME-based (temporal states qualify):
+        # keyframe-gated insertion starved the buffer exactly when
+        # tracking was healthy (few keyframes → no states → no scale fix)
+        self.align_min_dt = getattr(bc, "align_min_dt", 0.2)
         self.n_states = 0               # host-side count only (no reads)
         self._ts: list[float] = []
-        self.state = DeviceBackendState(
-            window=wba.make_window(self.S, self.L, self.S * self.mok),
-            slot_lid=jnp.full((self.L,), -1, I32),
-            slot_age=jnp.zeros((self.L,), I32),
-            next_age=jnp.asarray(1, I32))
+        self.state = self._fresh_state()
         self._jit_step = jax.jit(self._step_program)
         self._jit_marg = jax.jit(self._marginalize_program)
         self._jit_apply = jax.jit(self._apply_program)
+
+    def _fresh_state(self) -> DeviceBackendState:
+        A = self.align_buffer_len
+        z3 = jnp.zeros((A - 1, 3, 3))
+        abuf_imu = imf.PreintFactor(
+            delta_q=jnp.tile(jnp.array([1.0, 0, 0, 0]), (A - 1, 1)),
+            delta_v=jnp.zeros((A - 1, 3)), delta_p=jnp.zeros((A - 1, 3)),
+            dt=jnp.zeros((A - 1,)), J_q_bg=z3, J_v_bg=z3, J_v_ba=z3,
+            J_p_bg=z3, J_p_ba=z3, bias_gyr=jnp.zeros((A - 1, 3)),
+            bias_acc=jnp.zeros((A - 1, 3)),
+            cov=jnp.tile(jnp.eye(9)[None], (A - 1, 1, 1)))
+        return DeviceBackendState(
+            window=wba.make_window(self.S, self.L, self.S * self.mok),
+            slot_lid=jnp.full((self.L,), -1, I32),
+            slot_age=jnp.zeros((self.L,), I32),
+            next_age=jnp.asarray(1, I32),
+            abuf_q=jnp.tile(jnp.array([1.0, 0, 0, 0]), (A, 1)),
+            abuf_p=jnp.zeros((A, 3)),
+            abuf_imu=abuf_imu,
+            abuf_fvalid=jnp.zeros((A - 1,), bool),
+            abuf_n=jnp.asarray(0, I32),
+            abuf_last_ts=jnp.asarray(-1.0, jnp.float32),
+            abuf_rel=jnp.asarray(jnp.inf, jnp.float32),
+            pending_scale=jnp.asarray(1.0, jnp.float32))
 
     # ------------------------------------------------------------------
     def _add_keyframe(self, st: DeviceBackendState, k, dt_prev,
@@ -255,8 +305,9 @@ class DeviceBackend:
                            next_age=st.next_age + 1)
 
     # ------------------------------------------------------------------
-    def _step_program(self, st, k, dt_prev, T_cam_world, lids, bearings,
-                      valid, pool_pos, imu_win, use_imu):
+    def _step_program(self, st, k, dt_prev, ts, T_cam_world, lids,
+                      bearings, valid, pool_pos, imu_win, use_imu,
+                      is_kf=jnp.asarray(True), imu_raw=None):
         """Absorb keyframe k + optimize + extract the correction.
 
         The returned chi2 is the VISUAL (reprojection) cost only: the
@@ -270,12 +321,144 @@ class DeviceBackend:
         w, _ = wba.optimize(st.window, self.T_cam_body, self.focal,
                             self.opts)
         st = st._replace(window=w)
+        # the buffer preintegrates over the FULL keyframe gap — it needs
+        # the raw (un-window-masked) measurement window
+        st = self._align_buffer_step(
+            st, k, ts, imu_raw if imu_raw is not None else imu_win,
+            is_kf)
+        w = st.window
         e, _, _, wgt, _ = wba._reproj_terms(w, self.T_cam_body,
                                             self.focal, self.opts)
         chi2_vis = jnp.sum(jnp.sum(e * e, -1) * wgt)
         T_w_b_opt = SE3(w.q[k], w.p[k])
         T_new = self.T_cam_body.compose(T_w_b_opt.inverse())
         return st, T_new, chi2_vis
+
+    def _align_buffer_step(self, st: DeviceBackendState, k, ts, imu_win,
+                           is_kf) -> DeviceBackendState:
+        """Insert a keyframe-rate state into the long-horizon alignment
+        buffer, solve the closed-form VI alignment over it, and — when
+        the scale is genuinely observable — stage the similarity for the
+        frontend (``pending_scale``) and rescale window + buffer.
+
+        The similarity center is the CURRENT optimized body position
+        w.p[k], which _apply_program's frontend application keeps fixed,
+        so the correction never jumps the camera."""
+        A = self.align_buffer_len
+        w = st.window
+
+        def no(st2):
+            return st2._replace(pending_scale=jnp.asarray(1.0,
+                                                          jnp.float32))
+
+        def insert(st2: DeviceBackendState) -> DeviceBackendState:
+            dt_buf = ts - st2.abuf_last_ts
+            have_prev = ((st2.abuf_last_ts >= 0.0)
+                         & (dt_buf < self.align_max_gap)
+                         & (st2.abuf_n > 0))
+            # preintegrate over (abuf_last_ts, ts] — imu_win times are
+            # relative to the current frame ts
+            rel0 = st2.abuf_last_ts - ts
+            mask = imu_win.valid & (imu_win.t > rel0) \
+                & (imu_win.t <= 1e-6)
+            from svo_pro_universal_tpu.frontend.imu_handler import \
+                ImuWindow
+            iw = ImuWindow(imu_win.t, imu_win.gyro, imu_win.acc, mask)
+            factor = imf.preintegrate_with_cov(
+                iw, w.bg[k], w.ba[k],
+                self.imu_params.sigma_omega_c if self.imu_params
+                else 1e-3,
+                self.imu_params.sigma_acc_c if self.imu_params
+                else 1e-2)
+
+            full = st2.abuf_n >= A
+
+            def shift(x):
+                return jnp.where(full, jnp.concatenate(
+                    [x[1:], x[-1:]], axis=0), x)
+
+            q_b = shift(st2.abuf_q)
+            p_b = shift(st2.abuf_p)
+            imu_b = jax.tree.map(
+                lambda x: jnp.where(
+                    full, jnp.concatenate([x[1:], x[-1:]], axis=0), x),
+                st2.abuf_imu)
+            fv = jnp.where(full, jnp.concatenate(
+                [st2.abuf_fvalid[1:], st2.abuf_fvalid[-1:]]),
+                st2.abuf_fvalid)
+            slot = jnp.minimum(st2.abuf_n, A - 1)
+            q_b = q_b.at[slot].set(w.q[k])
+            p_b = p_b.at[slot].set(w.p[k])
+            fslot = jnp.clip(slot - 1, 0, A - 2)
+            write_f = slot > 0
+            imu_b = jax.tree.map(
+                lambda arr, val: arr.at[fslot].set(
+                    jnp.where(write_f, val, arr[fslot])),
+                imu_b, factor)
+            fv = fv.at[fslot].set(
+                jnp.where(write_f, have_prev, fv[fslot]))
+            n_new = jnp.minimum(st2.abuf_n + 1, A)
+            st2 = st2._replace(
+                abuf_q=q_b, abuf_p=p_b, abuf_imu=imu_b, abuf_fvalid=fv,
+                abuf_n=n_new,
+                abuf_last_ts=jnp.asarray(ts, jnp.float32))
+
+            # ---- closed-form alignment over the buffer ----------------
+            filled = jnp.arange(A) < n_new
+            fvalid = (st2.abuf_fvalid & filled[:-1] & filled[1:]
+                      & (st2.abuf_imu.dt > 1e-4))
+            # oscillatory excitation caps the per-factor scale signal at
+            # ~2× the wobble amplitude (the ½aΔt² term averages out over
+            # a period), flooring rel_std near 0.12 on the bench scene —
+            # so the gate sits at that floor and each application is
+            # DAMPED: α̂ is unbiased (β-form), so repeated damped
+            # applications converge with steady-state scale error
+            # ≈ rel·γ/(2−γ) ≈ 3% at γ = 0.5
+            gates = self.opts._replace(
+                vi_align_min_factors=self.align_min_factors,
+                vi_align_max_sigma=self.align_max_rel_std)
+            alpha, _, _, ok, rel = wba.alignment_solve(
+                st2.abuf_q, st2.abuf_p, st2.abuf_imu.delta_p,
+                st2.abuf_imu.delta_v, st2.abuf_imu.dt, fvalid, gates)
+            fire = ok & (jnp.abs(jnp.log(jnp.maximum(alpha, 1e-6)))
+                         > self.align_deadband)
+            a_damp = jnp.exp(self.align_damping
+                             * jnp.log(jnp.maximum(alpha, 1e-6)))
+            a_app = jnp.where(
+                fire, jnp.clip(a_damp, 0.5, 2.0), 1.0)
+
+            # rescale buffer + window about the current body position
+            # (only when firing — the rescale re-linearizes the window
+            # and drops the marginalization prior, exactly like a loop
+            # correction; see window_ba.maybe_vi_align)
+            def rescale(st3):
+                wx = st3.window
+                c = wx.p[k]
+                sv = wx.state_valid[:, None]
+                p_new = c[None] + a_app * (wx.p - c[None])
+                v_new = jnp.where(sv, a_app * wx.v, wx.v)
+                wx = wx._replace(
+                    p=p_new, v=v_new,
+                    lm_pos=c[None] + a_app * (wx.lm_pos - c[None]),
+                    q0=wx.q, p0=p_new, v0=v_new,
+                    bg0=wx.bg, ba0=wx.ba,
+                    H_prior=jnp.zeros_like(wx.H_prior),
+                    b_prior=jnp.zeros_like(wx.b_prior),
+                    has_prior=jnp.asarray(False),
+                    align_n=wx.align_n + 1,
+                    align_log=wx.align_log + jnp.log(a_app))
+                p_s = c[None] + a_app * (st3.abuf_p - c[None])
+                return st3._replace(window=wx, abuf_p=p_s)
+
+            w_diag = w._replace(
+                align_min_rel=jnp.minimum(w.align_min_rel, rel))
+            st2 = st2._replace(window=w_diag)
+            st2 = jax.lax.cond(fire, rescale, lambda s: s, st2)
+            return st2._replace(pending_scale=a_app, abuf_rel=rel)
+
+        do_insert = is_kf | (st.abuf_last_ts < 0.0) | (
+            ts - st.abuf_last_ts >= self.align_min_dt)
+        return jax.lax.cond(do_insert, insert, no, st)
 
     def _marginalize_program(self, st: DeviceBackendState
                              ) -> DeviceBackendState:
@@ -315,8 +498,12 @@ class DeviceBackend:
           displacement — the frontend (depth filter + per-frame structure
           GN) stays the owner of weakly-constrained points.
 
-        Returns (ring, pool, frame, s) — ``s`` is the applied scale so
-        the caller can rescale depth_state / the motion model too."""
+        Returns (ring, pool, frame, s, c) — ``s`` is the applied scale
+        (for depth_state / the motion model) and ``c`` the similarity
+        center, so the caller can also rescale the recorded trajectory
+        trace (a mid-run scale correction otherwise leaves the early
+        history at the stale scale — the trajectory a SLAM system
+        exports is its final, correction-consistent one)."""
         w = st.window
         L = self.L
         P = pool.capacity
@@ -335,6 +522,9 @@ class DeviceBackend:
             num_segments=L + 1)[:L]
         old_pos = pool.pos[jnp.clip(st.slot_lid, 0, P - 1)]
         well = (st.slot_lid >= 0) & w.lm_valid & (n_obs >= 2)
+        # scale observability of the CURRENT window, from the long-
+        # horizon alignment buffer (see _align_buffer_step)
+        observable = st.abuf_rel < self.scale_obs_max_rel_std
 
         # ---- common-mode scale (gauge direction the visual factors
         # cannot see; the IMU factors can) --------------------------------
@@ -356,8 +546,6 @@ class DeviceBackend:
             # transfers in the unobservable regime random-walk with a
             # systematic shrink component and collapsed the live map 12×
             # (measured r5, bench trajectory pre-excitation-wobble).
-            _, _, _, _, rel_std = wba.vi_alignment(w, self.opts)
-            observable = rel_std < self.scale_obs_max_rel_std
             trust = (healthy & observable
                      & (jnp.sum(sup.astype(jnp.int32))
                         >= self.min_scale_support)
@@ -385,6 +573,15 @@ class DeviceBackend:
             s = jnp.asarray(1.0)
             clip_binds = jnp.asarray(False)
 
+        # high-confidence similarity staged by the long-horizon
+        # alignment buffer overrides the per-solve median transfer (it
+        # already rescaled the window; the frontend must follow by the
+        # SAME factor or the two worlds diverge)
+        pend = (jnp.abs(jnp.log(jnp.maximum(st.pending_scale, 1e-6)))
+                > 1e-6)
+        s = jnp.where(pend, st.pending_scale, s)
+        clip_binds = clip_binds & ~pend
+
         pose_ok = pose_ok & ~clip_binds
         T_use = jax.tree.map(lambda a, b: jnp.where(pose_ok, a, b),
                              T_new, frame.T_cam_world)
@@ -397,10 +594,15 @@ class DeviceBackend:
         old_scaled = c[None] + s * (old_pos - c[None])
 
         # ---- residual displacement gate + landmark feedback -------------
+        # feedback also requires scale OBSERVABILITY: when the window
+        # cannot see scale, its landmark estimates random-walk along the
+        # scale direction and would drag the frontend map with them
+        # (measured r5: post-excitation scale drifted 1.0 → 1.32 through
+        # this channel alone with everything else gated)
         disp = jnp.linalg.norm(w.lm_pos - old_scaled, axis=-1)
         depth = jnp.maximum(jnp.linalg.norm(
             w.lm_pos - c[None], axis=-1), 1e-3)
-        lm_ok = well & (disp < 0.2 * depth) & pose_ok
+        lm_ok = well & (disp < 0.2 * depth) & pose_ok & observable
         tgt = jnp.where(lm_ok, st.slot_lid, P)
         pool = pool._replace(pos=pool_scaled.at[tgt].set(
             w.lm_pos, mode="drop"))
@@ -430,7 +632,7 @@ class DeviceBackend:
                                seed_mu_range=frame.seed_mu_range / s)
         frames = jax.tree.map(
             lambda r, f: r.at[ring.last_added].set(f), frames, frame)
-        return ring._replace(frames=frames), pool, frame, s
+        return ring._replace(frames=frames), pool, frame, s, c
 
     # ------------------------------------------------------------------
     # host API — dispatches device programs, never reads back
@@ -454,10 +656,17 @@ class DeviceBackend:
             z = jnp.zeros((m, 3))
             win = ImuWindow(jnp.zeros((m,)), z, z, jnp.zeros((m,), bool))
             use_imu = jnp.asarray(False)
+        # NOTE: the host path's window_between times are relative to the
+        # window start (not the frame), so the long-horizon alignment
+        # buffer is inert here — its masks select nothing and the dt
+        # gate drops the factors. The zero-readback pipelines (packed
+        # windows, frame-relative times) are the live consumers.
         self.state, T_new, chi2 = self._jit_step(
             self.state, jnp.asarray(k, I32), jnp.float32(dt_prev),
+            jnp.float32(timestamp),
             frame.T_cam_world, frame.landmark_id, frame.f,
-            frame.valid_mask(), pool.pos, win, use_imu)
+            frame.valid_mask(), pool.pos, win, use_imu,
+            jnp.asarray(False))
         self.n_states += 1
         self._ts.append(timestamp)
         return T_new, chi2
@@ -465,8 +674,4 @@ class DeviceBackend:
     def reset(self):
         self.n_states = 0
         self._ts = []
-        self.state = DeviceBackendState(
-            window=wba.make_window(self.S, self.L, self.S * self.mok),
-            slot_lid=jnp.full((self.L,), -1, I32),
-            slot_age=jnp.zeros((self.L,), I32),
-            next_age=jnp.asarray(1, I32))
+        self.state = self._fresh_state()

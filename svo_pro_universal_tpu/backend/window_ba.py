@@ -102,6 +102,7 @@ class Window(NamedTuple):
     # scale debugging was blind to whether the alignment ever fired)
     align_n: jax.Array    # i32 — applications
     align_log: jax.Array  # f32 — Σ log α applied
+    align_min_rel: jax.Array  # f32 — best (smallest) rel_std ever seen
 
     @property
     def S(self) -> int:
@@ -142,6 +143,7 @@ def make_window(max_states: int, max_landmarks: int, max_obs: int) -> Window:
         has_prior=jnp.asarray(False),
         align_n=jnp.asarray(0, jnp.int32),
         align_log=jnp.asarray(0.0, jnp.float32),
+        align_min_rel=jnp.asarray(jnp.inf, jnp.float32),
     )
 
 
@@ -460,21 +462,35 @@ def vi_alignment(w: Window, opts: BAOptions
     the window itself cannot see scale — measured r5: ungated transfers
     under weak excitation collapsed the live map 12×).
     """
-    S = w.S
+    valid = (w.imu_valid & w.state_valid[:-1] & w.state_valid[1:]
+             & (w.imu.dt > 1e-4))
+    return alignment_solve(w.q, w.p, w.imu.delta_p, w.imu.delta_v,
+                           w.imu.dt, valid, opts)
+
+
+def alignment_solve(q: jax.Array, p: jax.Array, delta_p: jax.Array,
+                    delta_v: jax.Array, dt_f: jax.Array,
+                    valid: jax.Array, opts: BAOptions):
+    """Core β-form closed-form VI alignment over S states and S-1
+    consecutive preintegration factors (see :func:`vi_alignment` for the
+    derivation). Shared by the in-window alignment and the long-horizon
+    initialization buffer (`device_interface.DeviceBackend`), whose
+    longer Δt factors raise the ½aΔt² signal quadratically — the
+    5-state window's 0.15–0.3 s factors floor rel_std at ~0.15
+    (measured r5), far above any sane gate."""
+    S = q.shape[0]
     g = jnp.asarray(opts.gravity)
     nvar = 1 + 3 * S
     nf = S - 1
 
     i_idx = jnp.arange(nf)
-    valid = (w.imu_valid & w.state_valid[:-1] & w.state_valid[1:]
-             & (w.imu.dt > 1e-4))
-    R_i = quat_to_matrix(w.q[i_idx])                       # [nf,3,3]
-    dp = w.p[i_idx + 1] - w.p[i_idx]                       # [nf,3]
-    dt = w.imu.dt                                          # [nf]
+    R_i = quat_to_matrix(q[i_idx])                         # [nf,3,3]
+    dp = p[i_idx + 1] - p[i_idx]                           # [nf,3]
+    dt = dt_f                                              # [nf]
     rhs_p = 0.5 * g[None] * (dt * dt)[:, None] \
-        + jnp.einsum("nij,nj->ni", R_i, w.imu.delta_p)     # [nf,3]
+        + jnp.einsum("nij,nj->ni", R_i, delta_p)           # [nf,3]
     rhs_v = g[None] * dt[:, None] \
-        + jnp.einsum("nij,nj->ni", R_i, w.imu.delta_v)
+        + jnp.einsum("nij,nj->ni", R_i, delta_v)
 
     eye3 = jnp.eye(3)
 
@@ -542,7 +558,8 @@ def maybe_vi_align(w: Window, opts: BAOptions) -> Window:
     the alignment must be allowed to land LATER when motion builds up
     (measured: a 1.2× init-prior miscalibration persisted for a whole
     bench run because alignment was prior-locked after 5 keyframes)."""
-    alpha, v_est, constrained, ok, _ = vi_alignment(w, opts)
+    alpha, v_est, constrained, ok, rel_std = vi_alignment(w, opts)
+    w = w._replace(align_min_rel=jnp.minimum(w.align_min_rel, rel_std))
     # per-application step bound: before any marginalization prior exists
     # (initialization) the closed form may apply its full correction; in
     # the steady state a single flaky estimate must not rescale the map

@@ -114,10 +114,27 @@ def invalidate_keyframe_observations(pool: LandmarkPool, kf_slot,
 
 def add_observations(pool: LandmarkPool, point_slot: jax.Array,
                      kf_slot: jax.Array, ft_idx: jax.Array,
-                     mask: jax.Array) -> LandmarkPool:
-    """Append (kf_slot, ft_idx) observations to points `point_slot` [K]."""
+                     mask: jax.Array, protect_first: int = 0
+                     ) -> LandmarkPool:
+    """Append (kf_slot, ft_idx) observations to points `point_slot` [K].
+
+    ``protect_first``: that many leading observation slots are never
+    overwritten by the ring — used for RE-observations so the anchor +
+    creation pair (the landmark's widest baseline, by seed-convergence
+    construction) survives while later keyframes rotate through the
+    remaining slots. Letting re-observations evict them left only
+    temporally-adjacent (near-zero baseline) observations and made the
+    structure GN noise-dominated (measured r5: scale drift onset moved
+    EARLIER when naive re-obs registration was added)."""
+    n_obs_row = pool.n_obs[jnp.where(mask, point_slot, 0)]
+    if protect_first > 0:
+        span = max(pool.max_obs - protect_first, 1)
+        ring = jnp.where(
+            n_obs_row < pool.max_obs, n_obs_row % pool.max_obs,
+            protect_first + (n_obs_row - protect_first) % span)
+    else:
+        ring = n_obs_row % pool.max_obs
     widx = jnp.where(mask, point_slot, pool.capacity)
-    ring = pool.n_obs[jnp.where(mask, point_slot, 0)] % pool.max_obs
     obs_kf = pool.obs_kf.at[widx, ring].set(kf_slot, mode="drop")
     obs_idx = pool.obs_idx.at[widx, ring].set(ft_idx, mode="drop")
     n_obs = pool.n_obs.at[widx].add(1, mode="drop")

@@ -273,12 +273,52 @@ class FrameHandlerMono:
         # (globally-optimized) landmarks are owned by the global map and
         # skipped here (reference: FIXED_LANDMARK never enters Point GN)
         enough = jnp.sum(obs_ok.astype(jnp.int32), axis=-1) >= 2
+        # PARALLAX gate: re-triangulating from near-zero-baseline pairs
+        # replaces a converged depth-filter estimate with a noise-
+        # dominated solve whose 5-iteration asymmetry (near solutions
+        # reached, far ones not) systematically shrinks the map —
+        # measured r5: −1.5%/frame once keyframes churn. Only optimize
+        # points whose observation set spans ≥8% baseline-to-depth.
+        cam_pos = jax.tree.map(lambda x: x, T_obs).inverse().t  # [N,O,3]
+        X = pool.pos[lidc]
+        depth_o = jnp.maximum(jnp.linalg.norm(
+            X[:, None, :] - cam_pos, axis=-1), 1e-6)
+        pdist = jnp.linalg.norm(
+            cam_pos[:, :, None, :] - cam_pos[:, None, :, :], axis=-1)
+        pair_ok = obs_ok[:, :, None] & obs_ok[:, None, :]
+        max_base = jnp.max(jnp.where(pair_ok, pdist, 0.0), axis=(1, 2))
+        parallax_ok = max_base > 0.08 * jnp.min(
+            jnp.where(obs_ok, depth_o, jnp.inf), axis=-1)
+        cand = has_lm & enough & parallax_ok & ~pool.fixed[lidc]
+        # the reference optimizes only the `max_n_pts` LONGEST-UNOPTIMIZED
+        # points per frame (optimizeStructure frame_handler_base.cpp:779,
+        # default 20) — re-solving every landmark every frame amplified a
+        # creation-time depth bias into a compounding map-scale drift
+        # (measured r5: −1.5%/frame at high keyframe churn)
+        max_pts = int(getattr(self, "_structure_max_pts",
+                              getattr(self.cfg.base,
+                                      "structure_optimization_max_pts",
+                                      20)))
+        n = lidc.shape[0]
+        if max_pts <= 0:
+            chosen = jnp.zeros((n,), bool)
+        elif max_pts < n:
+            age = pool.last_structure_optim[lidc].astype(jnp.float32)
+            pri = jnp.where(cand, -age, -jnp.inf)
+            _, sel_rows = jax.lax.top_k(pri, max_pts)
+            chosen = jnp.zeros((n,), bool).at[sel_rows].set(
+                True, mode="drop") & cand
+        else:
+            chosen = cand
         so_res = so_mod.optimize_points(
-            pool.pos[lidc], f_obs, T_obs, obs_ok,
-            has_lm & enough & ~pool.fixed[lidc], n_iter=5)
-        new_pos = pool.pos.at[jnp.where(has_lm, lidc, pool.capacity)].set(
-            so_res.xyz, mode="drop")
-        return pool._replace(pos=new_pos)
+            pool.pos[lidc], f_obs, T_obs, obs_ok, chosen, n_iter=5)
+        widx = jnp.where(chosen, lidc, pool.capacity)
+        now_i = (frame.timestamp * 1000.0).astype(jnp.int32)
+        new_pos = pool.pos.at[widx].set(so_res.xyz, mode="drop")
+        return pool._replace(
+            pos=new_pos,
+            last_structure_optim=pool.last_structure_optim.at[widx].set(
+                now_i, mode="drop"))
 
     def _stage_seeds(self, ring, cur_pyramid, T_cur_world, depth_scalars,
                      ov):
@@ -456,6 +496,18 @@ class FrameHandlerMono:
             invalidate_keyframe_observations
         pool = invalidate_keyframe_observations(pool, new_slot,
                                                 ring.valid[new_slot])
+        # RE-observed landmarks register this keyframe too (reference:
+        # frame_handler_base.cpp upgradeSeedsToFeatures/addObservation —
+        # every keyframe feature with a landmark adds an observation).
+        # Without this, each landmark kept only its 2 creation-time
+        # observations forever and the structure GN never gained the
+        # wide-baseline multi-view support that conditions it.
+        reobs = frame.valid_mask() & (frame.landmark_id >= 0)
+        pool = add_observations(
+            pool, jnp.clip(frame.landmark_id, 0, pool.capacity - 1),
+            jnp.broadcast_to(new_slot, frame.landmark_id.shape),
+            jnp.arange(self.max_fts, dtype=jnp.int32), reobs,
+            protect_first=2)
         pool = add_observations(pool, slots, frame.seed_ref_kf, fidx,
                                 converged)
         pool = add_observations(
@@ -935,7 +987,7 @@ class FrameHandlerVIO(FrameHandlerMono):
             T_new, chi2 = self.backend.add_keyframe_device(
                 timestamp, self.last_frame, self.pool,
                 imu_handler=self.imu)
-            ring, pool, frame, s = self.backend._jit_apply(
+            ring, pool, frame, s, _c = self.backend._jit_apply(
                 self.backend.state, self.ring, self.pool,
                 self.last_frame, T_new, chi2)
             self.ring, self.pool, self.last_frame = ring, pool, frame

@@ -236,7 +236,13 @@ class DevicePipelineSLAM(DevicePipelineVIO):
             H_prior=jnp.zeros_like(w.H_prior),
             b_prior=jnp.zeros_like(w.b_prior),
             has_prior=jnp.asarray(False))
-        return st._replace(window=w)
+        # the alignment buffer's poses are pre-correction world states —
+        # a rotation of the world frame breaks their gravity consistency
+        return st._replace(
+            window=w,
+            abuf_fvalid=jnp.zeros_like(st.abuf_fvalid),
+            abuf_n=jnp.zeros_like(st.abuf_n),
+            abuf_last_ts=jnp.full_like(st.abuf_last_ts, -1.0))
 
     # ------------------------------------------------------------------
     # global-map structure refinement

@@ -83,11 +83,27 @@ class DevicePipelineVIO(DevicePipelineMono):
             imu_params=imu_params,
             opts=wba.BAOptions(
                 max_iter=cfg.backend.max_iterations,
+                # scale is owned by the LONG-HORIZON alignment buffer
+                # (device_interface._align_buffer_step), which rescales
+                # window AND frontend consistently. The in-window
+                # alignment rescales only the window — the next pose
+                # correction then jumps the frontend pose against its
+                # own map and kills tracking (measured r5: n_tracked
+                # 87 → 11 in one frame when it fired mid-run)
+                vi_alignment=False,
                 gravity=tuple(gravity) if gravity is not None
                 else (0.0, 0.0, -9.81)),
             backend_cfg=cfg.backend)
         self._imu_m = (imu_handler.window_size
                        if imu_handler is not None else 16)
+        # with a window backend attached, landmark refinement is the
+        # BACKEND's job (joint window BA) — the reference's ceres-backend
+        # configuration relies on it the same way. The per-frame 2-obs
+        # structure GN on top systematically shrank the map once
+        # keyframes churned (creation-baseline noise asymmetry; measured
+        # r5: windowed trajectory scale 0.69 → 0.17 GN-on vs rock-steady
+        # GN-off)
+        self._structure_max_pts = 0
         super().__init__(cfg, cam, T_cam_body=T_cam_body, seed=seed,
                          imu_handler=imu_handler,
                          trace_capacity=trace_capacity, sync=False)
@@ -146,6 +162,10 @@ class DevicePipelineVIO(DevicePipelineMono):
             mask = ((pk[:, 7] > 0.5) & (t_rel > rel_kf)
                     & (t_rel <= 1e-6))
             iw = ImuWindow(t_rel, pk[:, 1:4], pk[:, 4:7], mask)
+            # raw window (full horizon) for the long-horizon alignment
+            # buffer, which spans whole keyframe gaps
+            iw_raw = ImuWindow(t_rel, pk[:, 1:4], pk[:, 4:7],
+                               (pk[:, 7] > 0.5) & (t_rel <= 1e-6))
             dt_prev = jnp.maximum(jnp.asarray(ts, jnp.float32)
                                   - w.last_kf_ts, 1e-3)
             # no IMU factor across a relocalization outage: velocities
@@ -154,16 +174,27 @@ class DevicePipelineVIO(DevicePipelineMono):
             have_prev = ((w.last_kf_ts >= 0.0)
                          & (dt_prev < be.max_imu_gap))
             st, T_new, chi2 = be._step_program(
-                st, k, dt_prev, w.last_frame.T_cam_world,
+                st, k, dt_prev, jnp.asarray(ts, jnp.float32),
+                w.last_frame.T_cam_world,
                 w.last_frame.landmark_id, w.last_frame.f,
                 w.last_frame.valid_mask(), w.pool.pos, iw,
-                have_prev)
-            ring, pool, fr, s = be._apply_program(
+                have_prev, is_kf, iw_raw)
+            ring, pool, fr, s, c = be._apply_program(
                 st, w.ring, w.pool, w.last_frame, T_new, chi2)
+            # a scale correction rewrites the recorded trajectory too —
+            # the early history would otherwise stay at the stale scale
+            # (the exported trajectory of a SLAM system is its final,
+            # correction-consistent one)
+            written = (jnp.arange(w.trace_t.shape[0])
+                       < w.trace_ptr)[:, None]
+            trace_t = jnp.where(written,
+                                c[None] + s * (w.trace_t - c[None]),
+                                w.trace_t)
             return w._replace(
                 backend=st, backend_k=k + 1,
                 last_kf_ts=jnp.asarray(ts, jnp.float32),
                 ring=ring, pool=pool, last_frame=fr,
+                trace_t=trace_t,
                 # common-mode scale: depth scalars + motion model follow
                 depth_state=w.depth_state * s,
                 T_rel_prev=SE3(w.T_rel_prev.q, w.T_rel_prev.t * s),

@@ -115,7 +115,8 @@ def distributed_optimize(w: wba.Window, T_cam_body: SE3, focal,
         obs_state=shard, obs_lm=shard, obs_f=shard, obs_valid=shard,
         imu=imu_spec, imu_info=rep, imu_valid=rep, zupt=rep,
         H_prior=rep, b_prior=rep, q0=rep, p0=rep, v0=rep, bg0=rep,
-        ba0=rep, has_prior=rep, align_n=rep, align_log=rep)
+        ba0=rep, has_prior=rep, align_n=rep, align_log=rep,
+        align_min_rel=rep)
     out_spec = (in_spec, rep)
     L_local = w.L // n
 

@@ -162,7 +162,7 @@ def test_device_backend_scale_convergence_from_2x_map(rng):
                             jnp.int32(FeatureType.INVALID)))
         T_new, chi2 = backend.add_keyframe_device(
             float(states["t"][k]), frame, pool, imu_handler=imu)
-        ring, pool, frame, s = backend._jit_apply(
+        ring, pool, frame, s, _c = backend._jit_apply(
             backend.state, ring, pool, frame, T_new, chi2)
 
     a_end = umeyama_alignment(lm_gt, np.asarray(pool.pos),
